@@ -1,0 +1,221 @@
+"""Explicit-solver correctness tests.
+
+The reference has no unit tests; its verification strategy is scientific
+cross-validation (SURVEY.md section 4).  These tests turn that strategy
+into an executable suite: conservation laws, the analytic steady-state
+aSFK profile, the experimental fit datum, and basic solver mechanics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gab1_shp2_tpu import (
+    base_system,
+    default_co,
+    default_params,
+    memb_sfk_system,
+    rect_system,
+    solve_explicit,
+)
+from gab1_shp2_tpu.models.observables import gsa_outputs, pct_shp2_bound_gab1
+from gab1_shp2_tpu.ops.solution import spatial_average
+
+
+R = 10.0
+
+
+def _totals(sol, R=R):
+    """Conserved totals (volume units, molecules/um^3): bulk volume
+    averages plus membrane contributions scaled by sa/vol = 3/R."""
+    s = 3.0 / R
+
+    def vol(name):
+        return spatial_average(sol.cyto(name), sol.r, R)
+
+    def mem(name):
+        return sol.memb(name) * s
+
+    sfk = vol("iSFK") + vol("aSFK")
+    egfr = (mem("mE") + mem("mES") + 2 * mem("mESmES") + 2 * (
+        mem("E") + mem("EG2") + mem("EG2G1") + mem("EG2PG1") + mem("EG2PG1S")))
+    grb2 = (vol("GRB2") + vol("G2G1") + vol("G2PG1") + vol("G2PG1S")
+            + mem("EG2") + mem("EG2G1") + mem("EG2PG1") + mem("EG2PG1S"))
+    gab1 = (vol("GAB1") + vol("pGAB1") + vol("G2G1") + vol("G2PG1")
+            + vol("PG1S") + vol("G2PG1S")
+            + mem("EG2G1") + mem("EG2PG1") + mem("EG2PG1S"))
+    shp2 = vol("SHP2") + vol("PG1S") + vol("G2PG1S") + mem("EG2PG1S")
+    return {"SFK": sfk, "EGFR": egfr, "GRB2": grb2, "GAB1": gab1, "SHP2": shp2}
+
+
+class TestConservation:
+    def test_mass_conservation(self, base_solution):
+        sol, co = base_solution
+        totals = _totals(sol)
+        # SFK exchanges no mass with the membrane: conserved to roundoff.
+        np.testing.assert_allclose(np.asarray(totals["SFK"]),
+                                   float(totals["SFK"][0]), rtol=1e-10)
+        # Species exchanging with the membrane incur the O(dr) flux
+        # discretization defect of the first-order Robin closure.
+        for name in ("EGFR", "GRB2", "GAB1", "SHP2"):
+            tot = np.asarray(totals[name])
+            assert np.all(np.isfinite(tot))
+            np.testing.assert_allclose(tot, tot[0], rtol=2e-2), name
+
+    def test_conservation_defect_shrinks_with_dr(self):
+        sys_ = base_system()
+        co = default_co()
+        p = default_params()
+
+        def defect(dr):
+            sol = solve_explicit(sys_, co, p, dr=dr, tf=1.0, Nts=10,
+                                 tol=1e-4, maxiters=20)
+            tot = np.asarray(_totals(sol)["GAB1"])
+            return abs(tot[-1] / tot[0] - 1.0)
+
+        assert defect(0.1) < 0.6 * defect(0.4)
+
+
+class TestScience:
+    def test_positivity(self, base_solution):
+        sol, _ = base_solution
+        assert float(jnp.min(sol.C)) >= 0.0
+        assert float(jnp.min(sol.m)) >= 0.0
+
+    def test_fit_datum_pct_shp2_bound_gab1(self):
+        """The MAP parameters were optimized to reproduce the single
+        experimental datum 26.426% SHP2-bound GAB1 at 5 min EGF
+        (exptl_pct_SHP2-bound-GAB1.csv; fit at dr=0.2, tol=1e-3,
+        param_fitting+inference_finitediff.jl:254-266).  The residual
+        tolerance absorbs the <1% statistical error in our prior-mode
+        estimates for the non-fitted parameters."""
+        sol = solve_explicit(base_system(), default_co(),
+                             default_params(fit="map"), dr=0.2, tf=5.0,
+                             Nts=100, tol=1e-3, maxiters=20)
+        pct = float(pct_shp2_bound_gab1(sol, default_co(), R))
+        assert pct == pytest.approx(26.426, abs=0.7)
+
+    def test_analytic_asfk_steady_profile(self, base_solution):
+        """Near steady state the aSFK profile solves D C'' + (2/r)C' =
+        kSi C with a flux source at r=R; the closed form is
+        C(r) = A sinh(m r)/r with m = sqrt(kSi/D)
+        (MATLAB/finitediff_steady_state_BVP_comparison.m:98-104)."""
+        sol, _ = base_solution
+        p = default_params()
+        m = np.sqrt(float(p.kSi) / float(p.Dsfk))
+        r = np.asarray(sol.r)
+        asfk = np.asarray(sol.cyto("aSFK")[-1])
+        analytic = np.ones_like(r)
+        analytic[1:] = np.sinh(m * r[1:]) / (m * r[1:])
+        analytic[0] = 1.0
+        # compare shapes normalized at the surface
+        np.testing.assert_allclose(asfk / asfk[-1],
+                                   analytic / analytic[-1], rtol=2e-2)
+
+    def test_gsa_outputs_shape_and_sanity(self, base_solution):
+        sol, _ = base_solution
+        out = np.asarray(gsa_outputs(sol, R))
+        assert out.shape == (6,)
+        r12_sfk, r110_sfk, r12_p, r110_p, cs, avg = out
+        assert 0 < r12_sfk <= r110_sfk <= R
+        assert 0 < cs <= 1.05
+        assert avg > 0
+
+    def test_egf_drives_activation(self):
+        """Without EGF no EGFR phosphorylates and nothing downstream
+        happens."""
+        sys_ = base_system()
+        co = default_co()
+        p = default_params().replace(EGF=0.0)
+        sol = solve_explicit(sys_, co, p, dr=0.4, tf=1.0, Nts=4,
+                             tol=1e-4, maxiters=20)
+        assert float(jnp.max(sol.pE)) == 0.0
+        assert float(jnp.max(sol.cyto("aSFK"))) == 0.0
+        assert float(jnp.max(sol.PG1Stot)) == 0.0
+
+
+class TestVariants:
+    def test_rect_differs_from_spherical(self):
+        co = default_co()
+        p = default_params()
+        kw = dict(dr=0.4, tf=1.0, Nts=4, tol=1e-4, maxiters=20)
+        sph = solve_explicit(base_system(), co, p, **kw)
+        rect = solve_explicit(rect_system(), co, p, **kw)
+        a_s = float(spatial_average(sph.cyto("aSFK")[-1], sph.r, R))
+        a_r = np.trapezoid(np.asarray(rect.cyto("aSFK")[-1]),
+                           np.asarray(rect.r)) / R
+        # same physics, different geometry: both activate, different values
+        assert a_s > 0 and a_r > 0
+        assert not np.isclose(a_s, a_r, rtol=1e-3)
+
+    def test_memb_sfk_confines_asfk(self):
+        """With aSFK diffusivity pinned to 1e-32 active SFKs cannot leave
+        the boundary node (basepdesolver.jl:366,530)."""
+        co = default_co()
+        p = default_params()
+        kw = dict(dr=0.4, tf=1.0, Nts=4, tol=1e-4, maxiters=20)
+        sol = solve_explicit(memb_sfk_system(), co, p, **kw)
+        asfk = np.asarray(sol.cyto("aSFK")[-1])
+        assert asfk[-1] > 1.0
+        assert np.all(asfk[:-1] < 1e-6 * asfk[-1])
+
+    def test_pulse_chase_event(self):
+        """Zeroing kp at t_prechase makes pEGFR decay during the chase
+        (pulsechase_solver.jl:156-158)."""
+        co = default_co()
+        p = default_params()
+        sol = solve_explicit(base_system(), co, p, dr=0.4, tf=7.0, Nts=70,
+                             tol=1e-4, maxiters=20, t_prechase=5.0)
+        pe = np.asarray(sol.pE)
+        t = np.asarray(sol.t)
+        i5 = int(np.argmin(np.abs(t - 5.0)))
+        assert pe[i5] > 1.0
+        # strictly decaying afterwards, and substantially so by t=7
+        assert pe[-1] < 0.5 * pe[i5]
+        assert np.all(np.diff(pe[i5 + 1:]) <= 1e-12)
+
+
+class TestMechanics:
+    def test_snapshot_times(self, base_solution):
+        sol, _ = base_solution
+        t = np.asarray(sol.t)
+        assert t[0] == 0.0
+        # every save threshold crossed within one dt
+        expect = np.linspace(0, 5.0, 101)
+        assert np.all(t[1:] >= expect[1:] - 1e-9)
+        assert np.max(t[1:] - expect[1:]) < 5e-3
+
+    def test_masked_steps_match_plain(self):
+        """Running with extra masked steps must give identical output."""
+        sys_ = base_system()
+        co = default_co()
+        p = default_params()
+        dt = 2e-3
+        kw = dict(dr=0.4, tf=0.5, Nts=5, tol=1e-4, maxiters=20)
+        a = solve_explicit(sys_, co, p, dt=dt, **kw)
+        n = int(np.ceil(0.5 / dt))
+        b = solve_explicit(sys_, co, p, dt=dt, n_steps=n + 37,
+                           nt_active=n, **kw)
+        np.testing.assert_array_equal(np.asarray(a.C), np.asarray(b.C))
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+
+    def test_vmap_over_params(self):
+        """vmap over an ensemble axis reproduces per-member solves."""
+        import jax
+
+        sys_ = base_system()
+        co = default_co()
+        p0 = default_params()
+        batch = jnp.stack([p0.k, p0.k * 1.1])
+        pb = type(p0)(D=jnp.stack([p0.D, p0.D]), k=batch)
+        dt = 1e-3
+        n = int(np.ceil(0.5 / dt))
+
+        def run(params):
+            return solve_explicit(sys_, co, params, dr=0.4, tf=0.5, Nts=5,
+                                  dt=dt, n_steps=n, tol=1e-4, maxiters=20).C
+
+        batched = jax.vmap(run)(pb)
+        single = run(type(p0)(D=p0.D, k=p0.k * 1.1))
+        np.testing.assert_allclose(np.asarray(batched[1]),
+                                   np.asarray(single), rtol=1e-12)
