@@ -1,0 +1,135 @@
+"""Vmapped / sharded parameter-ensemble engine.
+
+The reference batches independent PDE solves over parameter sets three
+ways — ``Threads.@threads`` + ``ReentrantLock`` (``get_param_posteriors.jl:147``),
+``Distributed.pmap`` (``sapdesolver.jl:323``), and ``MCMCDistributed``.
+The TPU-native equivalent is one mechanism: ``jax.vmap`` over the
+ensemble axis per device, sharded across a device mesh with
+``jax.sharding`` for multi-chip runs (see ``gab1_shp2_tpu.parallel``).
+
+Failure isolation is masking, not try/catch: lanes whose solve produced
+NaN (or whose stiff integration failed) are dropped from summaries the
+way the reference skips NaN samples (``get_param_posteriors.jl:155``,
+``on_error=zeros`` in ``sapdesolver.jl:363-366``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gab1_shp2_tpu.models.params import Params, stability_dt
+from gab1_shp2_tpu.models.system import ReactionDiffusionSystem
+from gab1_shp2_tpu.ops.explicit import solve_explicit
+from gab1_shp2_tpu.ops.trbdf2 import solve_stiff
+
+
+def _identity(sol):
+    return sol
+
+
+def run_ensemble(
+    system: ReactionDiffusionSystem,
+    Co: jax.Array,
+    ensemble,  # (N, 24) packed array or batched Params
+    *,
+    solver: str = "stiff",
+    extract: Callable = _identity,
+    R: float = 10.0,
+    dr: float = 0.2,
+    tf: float = 5.0,
+    Nts: int = 100,
+    rtol: float = 1e-4,
+    atol: float = 1e-7,
+    tol: float = 1e-4,
+    maxiters: int = 20,
+    t_prechase: Optional[float] = None,
+    chunk: Optional[int] = None,
+    device_axis=None,
+):
+    """Solve the PDE for every ensemble member.
+
+    Mirrors ``run_ensemble`` / ``run_ensemble_pc``
+    (``get_param_posteriors.jl:135-236``): defaults dr=0.2, tol=1e-4,
+    maxiters=20, Nts=100.  ``extract`` maps each member's
+    :class:`Solution` to whatever should be kept (default: everything);
+    keeping only reduced summaries is how 10k-member ensembles stay in
+    HBM.
+
+    Returns ``(out, valid)``: the stacked extracted pytree with leading
+    ensemble axis, and a boolean mask of lanes that completed with
+    finite output.
+
+    ``chunk`` bounds peak memory by scanning over member chunks;
+    ``device_axis`` (a mesh axis name) shards the ensemble axis — see
+    :func:`gab1_shp2_tpu.parallel.mesh.run_sharded`.
+    """
+    if isinstance(ensemble, Params):
+        pb = ensemble
+    else:
+        pb = Params.unpack(jnp.asarray(ensemble))
+    N = pb.k.shape[0]
+
+    if solver == "stiff":
+        def one(p: Params):
+            sol, stats = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf,
+                                     Nts=Nts, rtol=rtol, atol=atol,
+                                     t_prechase=t_prechase,
+                                     return_stats=True)
+            out = extract(sol)
+            ok = jnp.logical_and(
+                ~stats.failed,
+                jnp.isfinite(sol.C[-1]).all())
+            return out, ok
+    elif solver == "explicit":
+        # shared conservative step: per-member stability dt with a static
+        # max step count (reference semantics, basepdesolver.jl:30)
+        dts = stability_dt(pb, dr)
+        n_steps = int(np.ceil(tf / float(jnp.min(dts))))
+        nt_active = jnp.ceil(tf / dts).astype(jnp.int32)
+
+        def one(p_dt):
+            p, dt_i, nt_i = p_dt
+            sol = solve_explicit(system, Co, p, R=R, dr=dr, tf=tf, Nts=Nts,
+                                 dt=dt_i, n_steps=n_steps, nt_active=nt_i,
+                                 maxiters=maxiters, tol=tol,
+                                 t_prechase=t_prechase)
+            out = extract(sol)
+            ok = jnp.isfinite(sol.C[-1]).all()
+            return out, ok
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+
+    if solver == "explicit":
+        batched_args = (pb, dts, nt_active)
+    else:
+        batched_args = pb
+
+    vone = jax.vmap(one)
+    if chunk is None or chunk >= N:
+        out, ok = jax.jit(vone)(batched_args)
+    else:
+        assert N % chunk == 0, "chunk must divide ensemble size"
+        args = jax.tree_util.tree_map(
+            lambda a: a.reshape((N // chunk, chunk) + a.shape[1:]),
+            batched_args)
+        out, ok = jax.lax.map(vone, args)
+        out, ok = jax.tree_util.tree_map(
+            lambda a: a.reshape((N,) + a.shape[2:]), (out, ok))
+    return out, ok
+
+
+def masked_quantiles(values: jax.Array, valid: jax.Array,
+                     qs=(0.159, 0.5, 0.841)) -> jax.Array:
+    """Quantiles over the ensemble axis (axis 0) ignoring invalid lanes.
+
+    Used for the median / 68% credible-interval summary surfaces of the
+    analysis drivers (``run_base_model.jl:99-175``).
+    """
+    v = jnp.where(valid.reshape((-1,) + (1,) * (values.ndim - 1)),
+                  values, jnp.nan)
+    return jnp.nanquantile(v, jnp.asarray(qs), axis=0)

@@ -1,5 +1,275 @@
-"""Stiff TRBDF2 integrator (placeholder — implemented in a later commit)."""
+"""Adaptive TRBDF2 stiff integrator with block-tridiagonal Newton.
+
+The production compute path: replaces the reference's QNDF/MoL solve
+(``define_PDESystem_base.jl:268-288``, 1,818 stiff ODEs with a symbolic
+Jacobian) with a TPU-first design —
+
+  * one-step L-stable TRBDF2 (TR stage + BDF2 stage sharing the same
+    Newton matrix ``W = I - (gamma/2) h J``), third-order embedded error
+    estimate filtered through ``W`` (Hosea-Shampine) and a standard
+    step-size controller,
+  * the Jacobian is the exact block-tridiagonal stack from 38 colored
+    JVPs (``ops/jacobian.py``); Newton solves are batched block-Thomas
+    sweeps (``ops/blocktridiag.py``),
+  * everything lives in one ``lax.while_loop`` under jit with static
+    shapes, so the whole integrator ``vmap``s over parameter ensembles:
+    each lane walks its own adaptive (t, h) trajectory and lanes that
+    finish early idle until the batch completes,
+  * failures (Newton divergence, dt underflow) set a per-lane flag and
+    leave NaN snapshots instead of throwing — vmapped lanes cannot
+    throw, so the ensemble layer masks lanes the way the reference
+    drops NaN samples (``get_param_posteriors.jl:155``).
+
+Snapshots are taken on the uniform save grid via cubic Hermite dense
+output, so large stiff steps are never shortened just to hit save
+points.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gab1_shp2_tpu.models.params import Params
+from gab1_shp2_tpu.models.species import N_CYTO, N_MEMB
+from gab1_shp2_tpu.models.system import ReactionDiffusionSystem
+from gab1_shp2_tpu.ops import rhs as rhs_mod
+from gab1_shp2_tpu.ops.blocktridiag import bt_factor, bt_solve
+from gab1_shp2_tpu.ops.jacobian import (
+    block_jacobian,
+    blocks_to_state,
+    state_to_blocks,
+)
+from gab1_shp2_tpu.ops.rhs import MolState, initial_state, kdict
+from gab1_shp2_tpu.ops.solution import Solution
+
+GAMMA = 2.0 - math.sqrt(2.0)
+A = GAMMA / 2.0  # shared implicit coefficient of both stages
+# BDF2-stage combination coefficients
+_C_YG = 1.0 / (GAMMA * (2.0 - GAMMA))
+_C_YN = (1.0 - GAMMA) ** 2 / (GAMMA * (2.0 - GAMMA))
+# third-order embedded weights (order conditions at c = (0, gamma, 1))
+_B2 = 1.0 / (6.0 * GAMMA * (1.0 - GAMMA))
+_B3 = 0.5 - 1.0 / (6.0 * (1.0 - GAMMA))
+_B1 = 1.0 - _B2 - _B3
 
 
-def solve_stiff(*args, **kwargs):
-    raise NotImplementedError("TRBDF2 path lands in the next milestone")
+class StiffStats(NamedTuple):
+    n_accepted: jax.Array
+    n_rejected: jax.Array
+    failed: jax.Array
+
+
+def _rhs_blocks_fn(system: ReactionDiffusionSystem, R: float, dr: float):
+    rhs, r = rhs_mod.make_mol_rhs(system, R, dr)
+
+    def f(y_blocks: jax.Array, params: Params) -> jax.Array:
+        C_int, m = blocks_to_state(y_blocks)
+        dy = rhs(MolState(C_int=C_int, m=m), params)
+        return state_to_blocks(dy.C_int, dy.m)
+
+    return f, r
+
+
+@partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps"))
+def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
+                      max_steps, h0):
+    dtype = Co.dtype
+    Nr = int(round(R / dr))
+    M = Nr - 1
+    NB = M + 1
+    f_blocks, r = _rhs_blocks_fn(system, R, dr)
+    tf_total = legs[-1][1]
+    dt_save = tf_total / Nts
+    eps = 1e-10 * tf_total
+
+    y0_state = initial_state(Co, Nr)
+    y0 = state_to_blocks(y0_state.C_int, y0_state.m)
+
+    eye = jnp.eye(N_CYTO, dtype=dtype)[None].repeat(NB, axis=0)
+
+    ntol = 0.03      # Newton tolerance in scaled-error units
+    newton_iters = 6
+
+    def snapshot(y_blocks, p: Params):
+        C_int, m = blocks_to_state(y_blocks)
+        k = kdict(p.k)
+        d_eff = rhs_mod.effective_diffusivities(system, p)
+        C_full = rhs_mod.full_profile(
+            system, MolState(C_int=C_int, m=m), k, d_eff, dr)
+        return C_full, m
+
+    nanC = jnp.full((Nts + 1, N_CYTO, Nr + 1), jnp.nan, dtype)
+    nanm = jnp.full((Nts + 1, N_MEMB), jnp.nan, dtype)
+    C0_full, m0 = snapshot(y0, params)
+    out_C = nanC.at[0].set(C0_full)
+    out_m = nanm.at[0].set(m0)
+
+    def scaled_norm(v, y_a, y_b):
+        w = atol + rtol * jnp.maximum(jnp.abs(y_a), jnp.abs(y_b))
+        return jnp.sqrt(jnp.mean((v / w) ** 2))
+
+    def run_leg(carry_in, t0, t1, p: Params):
+        f = partial(f_blocks, params=p)
+
+        def newton(fac, y_init, rhs_const, h):
+            def nbody(c):
+                y, _, it = c
+                Gv = y - A * h * f(y) - rhs_const
+                dy = bt_solve(fac, -Gv)
+                ynew = y + dy
+                return ynew, scaled_norm(dy, ynew, ynew), it + 1
+
+            def ncond(c):
+                _, dn, it = c
+                return jnp.logical_and(it < newton_iters, ~(dn <= ntol))
+
+            y, dn, _ = jax.lax.while_loop(
+                ncond, nbody,
+                (y_init, jnp.array(jnp.inf, dtype), jnp.array(0, jnp.int32)))
+            return y, (dn <= ntol)
+
+        def body(c):
+            t, h, y, nts, out_C, out_m, nacc, nrej, failed = c
+            h = jnp.minimum(h, t1 - t)
+
+            f_n = f(y)
+            Lj, Dj, Uj = block_jacobian(f, y)
+            fac = bt_factor(-A * h * Lj, eye - A * h * Dj, -A * h * Uj)
+
+            # TR stage to t + gamma*h
+            rc1 = y + A * h * f_n
+            y_g, ok1 = newton(fac, y + GAMMA * h * f_n, rc1, h)
+            f_g = (y_g - rc1) / (A * h)
+
+            # BDF2 stage to t + h
+            rc2 = _C_YG * y_g - _C_YN * y
+            y_1, ok2 = newton(fac, y_g, rc2, h)
+            f_1 = (y_1 - rc2) / (A * h)
+
+            # embedded 3rd-order error estimate, stiffly filtered
+            y_hat = y + h * (_B1 * f_n + _B2 * f_g + _B3 * f_1)
+            est = bt_solve(fac, y_1 - y_hat)
+            errn = scaled_norm(est, y, y_1)
+
+            ok = jnp.logical_and(ok1, ok2)
+            accept = jnp.logical_and(ok, errn <= 1.0)
+
+            t_new = jnp.where(accept, t + h, t)
+            y_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), y_1, y)
+
+            # step-size controller (PI-free, standard asymptotic)
+            fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
+            fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** (-1.0 / 3.0),
+                                             0.1, 0.5), 0.3)
+            h_new = h * jnp.where(accept, fac_ok, fac_rej)
+            h_new = jnp.where(jnp.isfinite(h_new), h_new, h * 0.3)
+            failed = jnp.logical_or(failed, h_new < 1e-13 * tf_total)
+
+            # dense-output snapshots for save points inside (t, t_new]
+            def scond(sc):
+                nts_i, _, _ = sc
+                return jnp.logical_and(nts_i <= Nts,
+                                       nts_i * dt_save <= t_new + eps)
+
+            def sbody(sc):
+                nts_i, oC, om = sc
+                ts = nts_i * dt_save
+                th = jnp.where(h > 0, (ts - t) / h, 0.0)
+                h00 = 2 * th**3 - 3 * th**2 + 1
+                h10 = th**3 - 2 * th**2 + th
+                h01 = -2 * th**3 + 3 * th**2
+                h11 = th**3 - th**2
+                y_s = h00 * y + h10 * h * f_n + h01 * y_1 + h11 * h * f_1
+                Cs, ms = snapshot(y_s, p)
+                oC = jax.lax.dynamic_update_index_in_dim(oC, Cs, nts_i, 0)
+                om = jax.lax.dynamic_update_index_in_dim(om, ms, nts_i, 0)
+                return nts_i + 1, oC, om
+
+            nts, out_C, out_m = jax.lax.cond(
+                accept,
+                lambda sc: jax.lax.while_loop(scond, sbody, sc),
+                lambda sc: sc,
+                (nts, out_C, out_m))
+
+            nacc = nacc + accept.astype(jnp.int32)
+            nrej = nrej + (~accept).astype(jnp.int32)
+            return (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
+                    failed)
+
+        def cond(c):
+            t, _, _, _, _, _, nacc, nrej, failed = c
+            return jnp.logical_and(
+                t < t1 - eps,
+                jnp.logical_and(~failed, nacc + nrej < max_steps))
+
+        t, h, y, nts, out_C, out_m, nacc, nrej, failed = carry_in
+        t = jnp.maximum(t, t0)
+        out = jax.lax.while_loop(cond, body, (t, h, y, nts, out_C, out_m,
+                                              nacc, nrej, failed))
+        return out
+
+    carry = (jnp.array(0.0, dtype), jnp.array(h0, dtype), y0,
+             jnp.array(1, jnp.int32), out_C, out_m,
+             jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
+             jnp.array(False))
+    for (t0, t1, p) in legs:
+        carry = run_leg(carry, t0, t1, p)
+    t, h, y, nts, out_C, out_m, nacc, nrej, failed = carry
+    failed = jnp.logical_or(failed, nts <= Nts)  # not all snapshots written
+
+    t_save = jnp.linspace(0.0, tf_total, Nts + 1).astype(dtype)
+    sol = Solution(C=out_C, m=out_m, t=t_save, r=r.astype(dtype),
+                   CoEGFR=Co[4])
+    stats = StiffStats(n_accepted=nacc, n_rejected=nrej, failed=failed)
+    return sol, stats
+
+
+def solve_stiff(
+    system: ReactionDiffusionSystem,
+    Co: jax.Array,
+    params: Params,
+    *,
+    R: float = 10.0,
+    dr: float = 0.1,
+    tf: float = 5.0,
+    Nts: int = 100,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    max_steps: int = 20_000,
+    h0: float = 1e-5,
+    t_prechase: Optional[float] = None,
+    return_stats: bool = False,
+):
+    """Stiff MoL solve with adaptive TRBDF2.
+
+    Tolerance-matched (not step-matched) to the explicit reference path —
+    the reference's own cross-validation idiom (explicit FTCS vs
+    MoL/QNDF, ``define_PDESystem_base.jl:288``).  ``t_prechase`` runs the
+    gefitinib pulse-chase as two exact integration legs with ``kp`` zeroed
+    in the second (continuous-time event; the explicit path replicates
+    the reference's step-quantized event instead).
+
+    Returns a :class:`Solution` (and :class:`StiffStats` when
+    ``return_stats``); failed lanes carry NaN snapshots plus
+    ``stats.failed``.
+    """
+    Co = jnp.asarray(Co)
+    params = Params(D=params.D.astype(Co.dtype), k=params.k.astype(Co.dtype))
+    if t_prechase is None:
+        legs = ((0.0, float(tf), params),)
+    else:
+        p2 = params.replace(kp=0.0)
+        legs = ((0.0, float(t_prechase), params),
+                (float(t_prechase), float(tf), p2))
+    sol, stats = _solve_stiff_impl(system, Co, params, legs, float(R),
+                                   float(dr), int(Nts), rtol, atol,
+                                   int(max_steps), float(h0))
+    if return_stats:
+        return sol, stats
+    return sol

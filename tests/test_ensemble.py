@@ -1,0 +1,136 @@
+"""Ensemble engine and multi-device sharding tests (8 virtual CPU
+devices; see conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gab1_shp2_tpu import base_system, default_co, default_params
+from gab1_shp2_tpu.ensemble.engine import masked_quantiles, run_ensemble
+from gab1_shp2_tpu.models.observables import gsa_outputs
+from gab1_shp2_tpu.models.params import Params
+
+
+def _small_batch(n=8, sigma=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    p0 = np.asarray(default_params().pack())
+    batch = p0[None, :] * np.exp(rng.normal(0.0, sigma, size=(n, 24)))
+    return jnp.asarray(batch)
+
+
+FAST = dict(dr=0.5, tf=0.5, Nts=2)
+
+
+class TestRunEnsemble:
+    def test_stiff_with_extract(self):
+        batch = _small_batch()
+        out, ok = run_ensemble(
+            base_system(), default_co(), batch, solver="stiff",
+            extract=lambda s: gsa_outputs(s, 10.0),
+            rtol=1e-4, atol=1e-7, **FAST)
+        assert out.shape == (8, 6)
+        assert bool(ok.all())
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_chunked_matches_unchunked(self):
+        batch = _small_batch()
+        kw = dict(solver="stiff", extract=lambda s: s.PG1Stot[-1],
+                  rtol=1e-4, atol=1e-7, **FAST)
+        a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch, chunk=2,
+                              **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+
+    def test_explicit_solver_path(self):
+        batch = _small_batch(n=4)
+        out, ok = run_ensemble(
+            base_system(), default_co(), batch, solver="explicit",
+            extract=lambda s: s.PG1Stot[-1], tol=1e-4, maxiters=20, **FAST)
+        assert out.shape[0] == 4
+        assert bool(ok.all())
+
+    def test_explicit_vs_stiff_ensemble(self):
+        batch = _small_batch(n=4)
+        kw = dict(dr=0.4, tf=1.0, Nts=2)
+        ex, _ = run_ensemble(base_system(), default_co(), batch,
+                             solver="explicit",
+                             extract=lambda s: s.PG1Stot[-1],
+                             tol=1e-6, maxiters=100, **kw)
+        st, _ = run_ensemble(base_system(), default_co(), batch,
+                             solver="stiff",
+                             extract=lambda s: s.PG1Stot[-1],
+                             rtol=1e-7, atol=1e-10, **kw)
+        np.testing.assert_allclose(np.asarray(ex), np.asarray(st),
+                                   rtol=5e-3, atol=1e-6)
+
+    def test_masked_quantiles_ignores_invalid(self):
+        vals = jnp.asarray(np.arange(40.0).reshape(10, 4))
+        valid = jnp.asarray([True] * 9 + [False])
+        q = masked_quantiles(vals, valid, qs=(0.5,))
+        expect = np.median(np.arange(40.0).reshape(10, 4)[:9], axis=0)
+        np.testing.assert_allclose(np.asarray(q[0]), expect)
+
+
+class TestSharding:
+    def test_run_sharded_over_8_devices(self):
+        from gab1_shp2_tpu.parallel.mesh import (
+            ensemble_mesh,
+            run_sharded,
+            shard_ensemble,
+        )
+
+        assert len(jax.devices()) == 8
+        mesh = ensemble_mesh()
+        batch = _small_batch(n=16)
+
+        def one(packed):
+            p = Params.unpack(packed)
+            from gab1_shp2_tpu import solve_stiff
+
+            sol = solve_stiff(base_system(), default_co(), p, rtol=1e-4,
+                              atol=1e-7, **FAST)
+            return gsa_outputs(sol, 10.0)
+
+        out = run_sharded(one, batch, mesh)
+        assert out.shape == (16, 6)
+        # sharded output: ensemble axis split across devices
+        assert len(out.sharding.device_set) == 8
+        # cross-device reduction works (XLA collective over the mesh)
+        mean = jnp.mean(out, axis=0)
+        assert np.isfinite(np.asarray(mean)).all()
+        # matches unsharded vmap
+        ref = jax.vmap(one)(batch)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-10)
+
+    def test_pad_to_multiple(self):
+        from gab1_shp2_tpu.parallel.mesh import pad_to_multiple
+
+        batch = _small_batch(n=5)
+        padded, n = pad_to_multiple(batch, 8)
+        assert n == 5 and padded.shape[0] == 8
+        np.testing.assert_array_equal(np.asarray(padded[4]),
+                                      np.asarray(padded[7]))
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
