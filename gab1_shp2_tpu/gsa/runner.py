@@ -1,0 +1,122 @@
+"""GSA drivers: batched model evaluation + index estimation.
+
+Reproduces the reference's eFAST workloads
+(``GSA_diffs+kinetic-params_MoL.jl``, ``GSA_concs.jl``): 6 summary
+outputs per sample, bounds = baseline x/÷1000 in log space for the 24
+diffusivity+kinetic parameters, or x2e-4..x2 for the 5 initial
+concentrations.  The 24,000-solve batch is one chunked/vmapped stiff
+ensemble call; failed lanes contribute zeros
+(``sapdesolver.jl:363-366``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gab1_shp2_tpu.models.observables import gsa_outputs
+from gab1_shp2_tpu.models.params import Params
+from gab1_shp2_tpu.models.system import ReactionDiffusionSystem
+from gab1_shp2_tpu.gsa.efast import (
+    EFASTDesign,
+    efast_design,
+    efast_indices,
+    log_bounds_around,
+)
+from gab1_shp2_tpu.gsa.sobol import SobolDesign, sobol_design, sobol_indices
+from gab1_shp2_tpu.ops.trbdf2 import solve_stiff
+
+GSA_VAR_NAMES = ("r_1/2, SFK", "r_1/10, SFK", "r_1/2, pG1S2",
+                 "r_1/10, pG1S2", "[pG1S2]_cent:surf", "[pG1S2]_average")
+
+
+def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
+                         R: float = 10.0, dr: float = 0.2, tf: float = 5.0,
+                         rtol: float = 1e-4, atol: float = 1e-7,
+                         chunk: int = 256) -> Callable[[np.ndarray], np.ndarray]:
+    """Batch evaluator over packed 24-parameter vectors -> (N, 6)."""
+
+    def one(packed):
+        p = Params.unpack(packed)
+        sol, stats = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf, Nts=2,
+                                 rtol=rtol, atol=atol, return_stats=True)
+        out = gsa_outputs(sol, R)
+        ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all())
+        return jnp.where(ok, out, jnp.zeros_like(out))
+
+    return _chunked_batch(one, chunk)
+
+
+def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
+                        R: float = 10.0, dr: float = 0.2, tf: float = 5.0,
+                        rtol: float = 1e-4, atol: float = 1e-7,
+                        chunk: int = 256) -> Callable[[np.ndarray], np.ndarray]:
+    """Batch evaluator over initial-concentration 5-vectors -> (N, 6)
+    (the concentration GSA, ``GSA_concs.jl``)."""
+
+    def one(co):
+        sol, stats = solve_stiff(system, co, params, R=R, dr=dr, tf=tf,
+                                 Nts=2, rtol=rtol, atol=atol,
+                                 return_stats=True)
+        out = gsa_outputs(sol, R)
+        ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all())
+        return jnp.where(ok, out, jnp.zeros_like(out))
+
+    return _chunked_batch(one, chunk)
+
+
+def _chunked_batch(one, chunk: int):
+    vone = jax.jit(jax.vmap(one))
+
+    def evaluate(X: np.ndarray) -> np.ndarray:
+        X = jnp.asarray(X)
+        n = X.shape[0]
+        outs = []
+        for s in range(0, n, chunk):
+            blk = X[s:s + chunk]
+            pad = chunk - blk.shape[0]
+            if pad:
+                blk = jnp.concatenate([blk, blk[-1:].repeat(pad, 0)], axis=0)
+            o = vone(blk)
+            outs.append(np.asarray(o[: chunk - pad if pad else chunk]))
+        return np.concatenate(outs, axis=0)
+
+    return evaluate
+
+
+def run_efast(evaluate: Callable[[np.ndarray], np.ndarray],
+              bounds: np.ndarray, *, samples: int = 1000,
+              num_harmonics: int = 4, log_space: bool = True,
+              seed: int = 123) -> Tuple[np.ndarray, np.ndarray, EFASTDesign]:
+    """Full eFAST sweep: design -> batched evaluation -> (S1, ST)."""
+    design = efast_design(bounds, samples, num_harmonics=num_harmonics,
+                          log_space=log_space,
+                          rng=np.random.default_rng(seed))
+    Y = evaluate(design.X)
+    S1, ST = efast_indices(Y, design, num_harmonics=num_harmonics)
+    return S1, ST, design
+
+
+def run_sobol(evaluate: Callable[[np.ndarray], np.ndarray],
+              bounds: np.ndarray, *, n: int = 512, log_space: bool = True,
+              seed: int = 123) -> Tuple[np.ndarray, np.ndarray, SobolDesign]:
+    """Full Sobol sweep with Saltelli sampling and Jansen estimators."""
+    design = sobol_design(bounds, n, log_space=log_space, seed=seed)
+    Y = evaluate(design.X)
+    S1, ST = sobol_indices(Y, design)
+    return S1, ST, design
+
+
+def dk_bounds(params: Params, factor: float = 1000.0) -> np.ndarray:
+    """Diffusivity+kinetics bounds, baseline x/÷1000
+    (``GSA_diffs+kinetic-params_MoL.jl:68-74``)."""
+    return log_bounds_around(np.asarray(params.pack()), factor)
+
+
+def conc_bounds(Co, lo: float = 2e-4, hi: float = 2.0) -> np.ndarray:
+    """Concentration bounds x2e-4 .. x2 (``GSA_concs.jl:62-71``)."""
+    co = np.asarray(Co, float)
+    return np.stack([co * lo, co * hi], axis=1)

@@ -1,0 +1,180 @@
+"""Fitting loss and the Bayesian model for the 4-parameter inference.
+
+Port of the reference's ``loss``
+(``param_fitting+inference_finitediff.jl:188-226``) and ``turing_model``
+(``:308-370``): the observable is the % SHP2-bound GAB1 at 5 min EGF,
+the fit datum is mu=26.426 with lognormal sigma from the
+protocol-transformed experimental spread.
+
+Design decisions (documented deviations):
+
+  * gradients flow through the *stiff* TRBDF2 solve by forward-mode AD
+    (4 tangents) instead of ForwardDiff through the 1e5-step explicit
+    loop — same differentiate-through-the-solver strategy, ~100x fewer
+    steps; the explicit path remains available for parity checks.
+  * the reference draws the 15 non-inferred parameters fresh from the
+    priors *inside* the likelihood (``:336-349``), making the density
+    stochastic across leapfrog steps.  Here ``nuisance="mode"``
+    (default) fixes them at the prior modes for a deterministic,
+    reproducible posterior; ``nuisance="sample"`` reproduces the
+    reference's pseudo-marginal behavior with a supplied PRNG key.
+  * the reference recenters the fitted-parameter priors at the MAP
+    with the *first evidence row's* spread (``:295-303`` uses
+    ``expts_df.errs[1]``, i.e. kG2f's 1.1x), which contradicts the
+    shipped posterior's multi-decade spread; the shipped chains are
+    only consistent with the original wide priors (sigma = log(10)),
+    so those are the default here.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gab1_shp2_tpu.models.observables import pct_shp2_bound_gab1
+from gab1_shp2_tpu.models.params import (
+    EXPTL_PCT_SHP2_BOUND_GAB1,
+    Params,
+    default_co,
+    default_params,
+)
+from gab1_shp2_tpu.models.species import K_NAMES
+from gab1_shp2_tpu.models.system import ReactionDiffusionSystem, base_system
+from gab1_shp2_tpu.ops.trbdf2 import solve_stiff
+
+FIT_NAMES = ("kG1p", "kG1dp", "kSa", "kSi")
+_FIT_K_IDX = tuple(K_NAMES.index(n) for n in FIT_NAMES)
+
+# lognormal (mu, sigma) of the fit datum, from the protocol transform of
+# (26.426 +- 9.363) (param_fitting+inference_finitediff.jl:113-114)
+DATUM_MU = EXPTL_PCT_SHP2_BOUND_GAB1[0]
+DATUM_SIGMA = math.sqrt(math.log(
+    1.0 + (EXPTL_PCT_SHP2_BOUND_GAB1[1] / EXPTL_PCT_SHP2_BOUND_GAB1[0]) ** 2))
+
+
+def set_fitted(params: Params, log_k4: jax.Array) -> Params:
+    """Insert exp(log_k4) into the four fitted kinetic slots."""
+    k = params.k
+    for j, idx in enumerate(_FIT_K_IDX):
+        k = k.at[..., idx].set(jnp.exp(log_k4[..., j]))
+    return Params(D=params.D, k=k)
+
+
+def make_observable_fn(
+    system: Optional[ReactionDiffusionSystem] = None,
+    Co=None,
+    base: Optional[Params] = None,
+    *,
+    R: float = 10.0,
+    dr: float = 0.2,
+    tf: float = 5.0,
+    rtol: float = 1e-4,
+    atol: float = 1e-7,
+) -> Callable[[jax.Array], jax.Array]:
+    """Returns ``f(log_k4) -> pct_shp2_bound_gab1`` via the stiff solve.
+
+    Default configuration mirrors the reference fit (dr=0.2, tf=5;
+    the likelihood's solver tolerance ``rtol=1e-4`` as in
+    ``turing_model``'s ``rtol`` kwarg)."""
+    system = system or base_system()
+    Co = default_co() if Co is None else Co
+    base = base or default_params(fit="prior")
+
+    def observable(log_k4: jax.Array) -> jax.Array:
+        p = set_fitted(base, log_k4)
+        sol = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf, Nts=2,
+                          rtol=rtol, atol=atol)
+        return pct_shp2_bound_gab1(sol, Co, R)
+
+    return observable
+
+
+def chi2_loss(observable: Callable, log_k4: jax.Array,
+              mu: float = DATUM_MU,
+              sigma: float = EXPTL_PCT_SHP2_BOUND_GAB1[1]) -> jax.Array:
+    """The MAP objective ``(mu - y)^2 / sigma^2``
+    (``param_fitting+inference_finitediff.jl:218-226``); NaN -> +inf so
+    failed solves are rejected, mirroring try/catch -> Inf."""
+    y = observable(log_k4)
+    val = (mu - y) ** 2 / sigma**2
+    return jnp.where(jnp.isfinite(val), val, jnp.inf)
+
+
+# --- Bayesian model -------------------------------------------------------
+
+def _normal_logpdf(x, mu, sigma):
+    return -0.5 * ((x - mu) / sigma) ** 2 - jnp.log(sigma) \
+        - 0.5 * math.log(2 * math.pi)
+
+
+def make_log_posterior(
+    observable: Callable,
+    *,
+    prior_mu: Optional[np.ndarray] = None,
+    prior_sigma: Optional[np.ndarray] = None,
+    trunc_decades: float = 3.0,
+    datum: float = DATUM_MU,
+    datum_sigma: float = DATUM_SIGMA,
+) -> Callable[[jax.Array], jax.Array]:
+    """Log posterior over q = log(kG1p, kG1dp, kSa, kSi).
+
+    Priors: LogNormal(mu_i, sigma_i) truncated at mode*10^trunc_decades
+    (``param_fitting+inference_finitediff.jl:329-332``) — in log space a
+    normal with an upper bound, enforced by a steep quadratic barrier so
+    the density stays differentiable for NUTS.  Likelihood:
+    ``datum ~ truncated(LogNormal(log y, sigma_data), upper=100)``
+    (``:368``).
+    """
+    if prior_mu is None:
+        from gab1_shp2_tpu.priors.literature import build_priors
+
+        ln = build_priors().lognorm
+        prior_mu = np.array([ln[n][0] for n in FIT_NAMES])
+        prior_sigma = np.array([ln[n][1] for n in FIT_NAMES])
+    prior_mu = jnp.asarray(prior_mu)
+    prior_sigma = jnp.asarray(prior_sigma)
+    qmax = prior_mu + trunc_decades * math.log(10.0)
+    log_datum = math.log(datum)
+
+    def logpost_fwdonly(q: jax.Array) -> jax.Array:
+        lp = jnp.sum(_normal_logpdf(q, prior_mu, prior_sigma))
+        # steep smooth barrier for the upper truncation
+        over = jnp.maximum(q - qmax, 0.0)
+        lp = lp - 1e4 * jnp.sum(over**2)
+
+        y = observable(q)
+        y = jnp.where(jnp.isfinite(y) & (y > 0), y, 1e-10)
+        ll = _normal_logpdf(log_datum, jnp.log(y), datum_sigma) - log_datum
+        # truncation at 100%: renormalize by CDF(log 100)
+        z = (math.log(100.0) - jnp.log(y)) / datum_sigma
+        log_cdf = jax.scipy.stats.norm.logcdf(z)
+        return lp + ll - log_cdf
+
+    return reverse_differentiable(logpost_fwdonly)
+
+
+def reverse_differentiable(f: Callable) -> Callable:
+    """Route a scalar function's VJP through forward-mode AD.
+
+    The stiff integrator's adaptive ``while_loop``s have no reverse
+    rule; with 4 fitted parameters a jacfwd costs 4 extra tangent
+    solves, so reverse-mode callers (NUTS's value_and_grad, optax's
+    zoom linesearch) get exact gradients at forward-mode cost."""
+
+    @jax.custom_vjp
+    def g(x):
+        return f(x)
+
+    def g_fwd(x):
+        return f(x), jax.jacfwd(f)(x)
+
+    def g_bwd(grad, ct):
+        return (ct * grad,)
+
+    g.defvjp(g_fwd, g_bwd)
+    return g

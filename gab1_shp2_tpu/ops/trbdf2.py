@@ -9,8 +9,10 @@ Jacobian) with a TPU-first design —
     estimate filtered through ``W`` (Hosea-Shampine) and a standard
     step-size controller,
   * the Jacobian is the exact block-tridiagonal stack from 38 colored
-    JVPs (``ops/jacobian.py``); Newton solves are batched block-Thomas
-    sweeps (``ops/blocktridiag.py``),
+    JVPs (``ops/jacobian.py``); Newton solves use block cyclic
+    reduction (``ops/cyclic_reduction.py``) — O(log NB) batched levels
+    instead of a sequential Thomas sweep, the op-latency-friendly shape
+    for TPU,
   * everything lives in one ``lax.while_loop`` under jit with static
     shapes, so the whole integrator ``vmap``s over parameter ensembles:
     each lane walks its own adaptive (t, h) trajectory and lanes that
@@ -38,7 +40,8 @@ from gab1_shp2_tpu.models.params import Params
 from gab1_shp2_tpu.models.species import N_CYTO, N_MEMB
 from gab1_shp2_tpu.models.system import ReactionDiffusionSystem
 from gab1_shp2_tpu.ops import rhs as rhs_mod
-from gab1_shp2_tpu.ops.blocktridiag import bt_factor, bt_solve
+from gab1_shp2_tpu.ops.cyclic_reduction import cr_factor as bt_factor
+from gab1_shp2_tpu.ops.cyclic_reduction import cr_solve as bt_solve
 from gab1_shp2_tpu.ops.jacobian import (
     block_jacobian,
     blocks_to_state,

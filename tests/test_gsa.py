@@ -1,0 +1,119 @@
+"""GSA correctness tests.
+
+The estimators are validated on the Ishigami function (known analytic
+Sobol indices) before being trusted on the PDE — a check the reference
+delegates to GlobalSensitivity.jl's own test suite.
+"""
+
+import numpy as np
+import pytest
+
+from gab1_shp2_tpu.gsa.efast import efast_design, efast_indices, log_bounds_around
+from gab1_shp2_tpu.gsa.sobol import sobol_design, sobol_indices
+
+A, B = 7.0, 0.1
+
+
+def ishigami(X):
+    return (np.sin(X[:, 0]) + A * np.sin(X[:, 1]) ** 2
+            + B * X[:, 2] ** 4 * np.sin(X[:, 0]))
+
+
+def ishigami_analytic():
+    V = A**2 / 8 + B * np.pi**4 / 5 + B**2 * np.pi**8 / 18 + 0.5
+    V1 = 0.5 * (1 + B * np.pi**4 / 5) ** 2
+    V2 = A**2 / 8
+    VT3 = 8 * B**2 * np.pi**8 / 225
+    S1 = np.array([V1 / V, V2 / V, 0.0])
+    ST = np.array([(V1 + VT3) / V, V2 / V, VT3 / V])
+    return S1, ST
+
+
+BOUNDS = np.array([[-np.pi, np.pi]] * 3)
+
+
+class TestEFAST:
+    def test_ishigami(self):
+        """Known analytic Sobol indices of the Ishigami function; 32
+        resample curves with the pooled estimator (see efast_indices)."""
+        d = efast_design(BOUNDS, 2049, log_space=False, resamples=32,
+                         rng=np.random.default_rng(3))
+        Y = ishigami(d.X)
+        S1, ST = efast_indices(Y, d)
+        S1a, STa = ishigami_analytic()
+        np.testing.assert_allclose(S1[:, 0], S1a, atol=0.03)
+        np.testing.assert_allclose(ST[:, 0], STa, atol=0.06)
+
+    def test_design_shape_and_bounds(self):
+        bounds = np.array([[0.1, 10.0], [1.0, 100.0]])
+        d = efast_design(bounds, 65, log_space=True,
+                         rng=np.random.default_rng(0))
+        assert d.X.shape == (130, 2)
+        assert (d.X[:, 0] >= 0.1 - 1e-12).all()
+        assert (d.X[:, 0] <= 10.0 + 1e-12).all()
+        assert (d.X[:, 1] >= 1.0 - 1e-12).all()
+
+    def test_multi_output(self):
+        d = efast_design(BOUNDS, 513, log_space=False,
+                         rng=np.random.default_rng(1))
+        Y = np.stack([ishigami(d.X), 2.0 * ishigami(d.X)], axis=1)
+        S1, ST = efast_indices(Y, d)
+        # indices are scale-invariant
+        np.testing.assert_allclose(S1[:, 0], S1[:, 1], atol=1e-12)
+
+    def test_constant_output_gives_zeros(self):
+        d = efast_design(BOUNDS, 129, log_space=False,
+                         rng=np.random.default_rng(2))
+        S1, ST = efast_indices(np.ones(d.X.shape[0]), d)
+        assert (S1 == 0).all() and (ST == 0).all()
+
+    def test_log_bounds(self):
+        b = log_bounds_around(np.array([2.0]), 1000.0)
+        np.testing.assert_allclose(b, [[0.002, 2000.0]])
+
+
+class TestSobol:
+    def test_ishigami(self):
+        d = sobol_design(BOUNDS, 4096, log_space=False, seed=0)
+        Y = ishigami(d.X)
+        S1, ST = sobol_indices(Y, d)
+        S1a, STa = ishigami_analytic()
+        np.testing.assert_allclose(S1[:, 0], S1a, atol=0.02)
+        np.testing.assert_allclose(ST[:, 0], STa, atol=0.02)
+
+
+class TestPDEIntegration:
+    def test_small_efast_on_model(self):
+        """A tiny eFAST sweep on the real PDE: structure + the one
+        robust qualitative expectation (aSFK length scales respond to
+        Dsfk and kSi)."""
+        import jax
+
+        from gab1_shp2_tpu import base_system, default_co, default_params
+        from gab1_shp2_tpu.gsa.runner import (
+            dk_bounds,
+            make_param_evaluator,
+            run_efast,
+        )
+
+        p = default_params()
+        ev = make_param_evaluator(base_system(), default_co(), dr=0.5,
+                                  tf=1.0, rtol=1e-3, atol=1e-6, chunk=64)
+        # vary only a 4-parameter subset to keep this test fast:
+        # [Dsfk, kSa, kSi, kG1f] around baseline, others pinned
+        idx = [0, 15, 16, 9]
+        base = np.asarray(p.pack())
+        sub_bounds = log_bounds_around(base[idx], 30.0)
+
+        def sub_eval(Xsub):
+            X = np.repeat(base[None, :], len(Xsub), axis=0)
+            X[:, idx] = Xsub
+            return ev(X)
+
+        S1, ST, design = run_efast(sub_eval, sub_bounds, samples=65,
+                                   seed=5)
+        assert S1.shape == (4, 6) and ST.shape == (4, 6)
+        assert np.isfinite(S1).all() and np.isfinite(ST).all()
+        # r1/2 of aSFK (output 0) must be sensitive to SFK
+        # inactivation kinetics (kSi, row 2): delta = sqrt(D/k)
+        assert ST[2, 0] > 0.05

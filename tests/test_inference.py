@@ -1,0 +1,128 @@
+"""Inference stack tests: NUTS on analytic targets, gradients through
+the stiff solver, MAP fitting, and the Bayesian model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gab1_shp2_tpu.inference.loss import (
+    DATUM_SIGMA,
+    FIT_NAMES,
+    chi2_loss,
+    make_log_posterior,
+    make_observable_fn,
+    set_fitted,
+)
+from gab1_shp2_tpu.inference.nuts import run_nuts
+from gab1_shp2_tpu.models.params import default_params
+
+
+class TestNUTS:
+    def test_standard_normal(self):
+        logp = lambda q: -0.5 * jnp.sum(q**2)
+        qs, info = run_nuts(logp, jnp.zeros(3), jax.random.PRNGKey(0),
+                            num_warmup=400, num_samples=1500)
+        qs = np.asarray(qs)
+        np.testing.assert_allclose(qs.mean(0), 0.0, atol=0.12)
+        np.testing.assert_allclose(qs.std(0), 1.0, atol=0.12)
+        assert int(np.asarray(info["diverged"]).sum()) == 0
+        # adapted acceptance near target
+        assert 0.5 < float(np.mean(np.asarray(info["accept_stat"]))) < 0.95
+
+    def test_correlated_gaussian(self):
+        cov = jnp.array([[2.0, 1.5], [1.5, 2.0]])
+        prec = jnp.linalg.inv(cov)
+        logp = lambda q: -0.5 * q @ prec @ q
+        qs, _ = run_nuts(logp, jnp.zeros(2), jax.random.PRNGKey(1),
+                         num_warmup=500, num_samples=4000)
+        est = np.cov(np.asarray(qs).T)
+        np.testing.assert_allclose(est, np.asarray(cov), atol=0.35)
+
+    def test_nonzero_mean_and_scales(self):
+        mu = jnp.array([3.0, -2.0])
+        sig = jnp.array([0.5, 4.0])
+        logp = lambda q: -0.5 * jnp.sum(((q - mu) / sig) ** 2)
+        qs, _ = run_nuts(logp, jnp.zeros(2), jax.random.PRNGKey(2),
+                         num_warmup=600, num_samples=3000)
+        qs = np.asarray(qs)
+        np.testing.assert_allclose(qs.mean(0), np.asarray(mu), atol=0.3)
+        np.testing.assert_allclose(qs.std(0), np.asarray(sig), rtol=0.15)
+
+    def test_vmapped_chains(self):
+        logp = lambda q: -0.5 * jnp.sum(q**2)
+        keys = jax.random.split(jax.random.PRNGKey(3), 4)
+        qs = jax.vmap(lambda k: run_nuts(logp, jnp.zeros(2), k,
+                                         num_warmup=200,
+                                         num_samples=400)[0])(keys)
+        assert qs.shape == (4, 400, 2)
+        pooled = np.asarray(qs).reshape(-1, 2)
+        np.testing.assert_allclose(pooled.std(0), 1.0, atol=0.15)
+
+
+FAST = dict(dr=0.5, tf=1.0, rtol=1e-3, atol=1e-6)
+
+
+class TestPDELikelihood:
+    def test_observable_and_grad(self):
+        obs = make_observable_fn(**FAST)
+        x0 = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
+        y = float(obs(x0))
+        assert 0.0 < y < 100.0
+        g = np.asarray(jax.jacfwd(obs)(x0))
+        assert np.isfinite(g).all()
+        # increasing SFK activation increases SHP2-bound GAB1
+        assert g[2] > 0
+        # increasing GAB1 dephosphorylation decreases it
+        assert g[1] < 0
+
+    def test_chi2_loss_nan_guard(self):
+        obs = lambda x: jnp.nan * x[0]
+        assert float(chi2_loss(obs, jnp.zeros(4))) == np.inf
+
+    def test_log_posterior_finite_and_peaked(self):
+        obs = make_observable_fn(**FAST)
+        lp = make_log_posterior(obs)
+        x_modes = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
+        v0 = float(lp(x_modes))
+        assert np.isfinite(v0)
+        # far outside the truncation the barrier dominates
+        v_far = float(lp(x_modes + 20.0))
+        assert v_far < v0 - 1e4
+
+    def test_set_fitted(self):
+        p = default_params(fit="prior")
+        p2 = set_fitted(p, jnp.log(jnp.asarray([1.0, 2.0, 3.0, 4.0])))
+        assert float(p2.kG1p) == pytest.approx(1.0)
+        assert float(p2.kSi) == pytest.approx(4.0)
+        # untouched parameters stay
+        assert float(p2.kS2r) == float(p.kS2r)
+
+
+class TestMAPFit:
+    def test_small_multistart_improves(self):
+        """A scaled-down multistart fit must drive the chi^2 loss to
+        ~zero (single datum, one effective degree of freedom)."""
+        from gab1_shp2_tpu.inference.map_fit import map_fit
+
+        res = map_fit(n_starts=16, n_local=2, max_iters=10,
+                      dr_coarse=0.5, dr_fine=0.4, rtol=1e-3, seed=1)
+        assert np.isfinite(res.loss)
+        assert res.loss < np.nanmin(res.start_losses) + 1e-12
+        assert res.loss < 0.05
+        for n in FIT_NAMES:
+            assert res.values[n] > 0
+
+    def test_nuts_smoke_on_pde_posterior(self):
+        """Short NUTS run on the real PDE posterior: moves, stays in
+        support, no divergences at coarse tolerance."""
+        obs = make_observable_fn(**FAST)
+        lp = make_log_posterior(obs)
+        x0 = jnp.log(jnp.asarray([1.27, 3.12, 0.79, 4.67]))
+        qs, info = run_nuts(lp, x0, jax.random.PRNGKey(0),
+                            num_warmup=15, num_samples=15, max_depth=6,
+                            init_step_size=0.5)
+        qs = np.asarray(qs)
+        assert np.isfinite(qs).all()
+        # the chain explores (not stuck at the initial point)
+        assert np.std(qs, axis=0).max() > 0.05
