@@ -1,0 +1,86 @@
+"""MAP fitting + NUTS posterior sampling driver (port of
+``Julia/param_fitting+inference_finitediff.jl``).
+
+Stage 1: multistart LBFGS MAP fit of (kG1p, kG1dp, kSa, kSi) against
+the 26.426% SHP2-bound-GAB1 datum -> ``fitted_parameters.csv``.
+Stage 2: NUTS chains (vmapped; the reference uses 5 chains x 1000
+samples via MCMCDistributed) -> posterior samples + quantile CSVs in
+the reference's layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gab1_shp2_tpu.inference.loss import (
+    FIT_NAMES,
+    make_log_posterior,
+    make_observable_fn,
+)
+from gab1_shp2_tpu.inference.map_fit import map_fit
+from gab1_shp2_tpu.inference.nuts import run_nuts
+from gab1_shp2_tpu.workloads import common
+
+QS = (0.025, 0.25, 0.5, 0.75, 0.975)
+
+
+def main(argv=None):
+    ap = common.default_argparser(__doc__)
+    ap.add_argument("--stage", choices=("map", "nuts", "both"),
+                    default="both")
+    ap.add_argument("--chains", type=int, default=5)
+    ap.add_argument("--samples", type=int, default=1000)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--starts", type=int, default=101)
+    args = ap.parse_args(argv)
+    out = args.outdir
+    os.makedirs(out, exist_ok=True)
+
+    x_map = None
+    if args.stage in ("map", "both"):
+        res = map_fit(n_starts=args.starts, rtol=args.rtol,
+                      dr_coarse=args.dr, dr_fine=args.dr / 2,
+                      seed=args.seed + 123)
+        print(f"MAP fit (loss {res.loss:.3e}):")
+        for n in FIT_NAMES:
+            print(f"  {n} = {res.values[n]:.6g}")
+        common.save_csv(f"{out}/fitted_parameters.csv",
+                        ["name", "value"],
+                        [[n, res.values[n]] for n in FIT_NAMES])
+        x_map = jnp.asarray(res.log_k4)
+
+    if args.stage in ("nuts", "both"):
+        obs = make_observable_fn(dr=args.dr, rtol=args.rtol)
+        lp = make_log_posterior(obs)
+        if x_map is None:
+            x_map = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
+        keys = jax.random.split(jax.random.PRNGKey(args.seed), args.chains)
+
+        def chain(key):
+            return run_nuts(lp, x_map, key, num_warmup=args.warmup,
+                            num_samples=args.samples, max_depth=8,
+                            target_accept=0.65)
+
+        qs_all, info = jax.vmap(chain)(keys)
+        samples = np.exp(np.asarray(qs_all).reshape(-1, 4))
+        div = int(np.asarray(info["diverged"]).sum())
+        print(f"NUTS: {args.chains}x{args.samples} samples, "
+              f"{div} divergences")
+        common.save_csv(
+            f"{out}/posterior_samples.csv", list(FIT_NAMES),
+            samples.tolist())
+        rows = []
+        for j, n in enumerate(FIT_NAMES):
+            q = np.quantile(samples[:, j], QS)
+            rows.append([n] + list(q) + [samples[:, j].mean()])
+            print(f"  {n}: median {q[2]:.4g} [{q[0]:.4g}, {q[4]:.4g}]")
+        common.save_csv(f"{out}/posterior_quantiles.csv",
+                        ["param"] + [f"q{q}" for q in QS] + ["mean"], rows)
+
+
+if __name__ == "__main__":
+    main()

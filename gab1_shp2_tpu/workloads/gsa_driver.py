@@ -1,0 +1,79 @@
+"""eFAST / Sobol GSA drivers (ports of
+``Julia/GSA_diffs+kinetic-params_MoL.jl``,
+``GSA_diff+kinetic-params_memb-SFK_MoL.jl`` and ``GSA_concs.jl``).
+
+Writes S1/ST CSVs in the reference's layout (one row per parameter,
+one column per output variable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import gab1_shp2_tpu as g
+from gab1_shp2_tpu.gsa.runner import (
+    GSA_VAR_NAMES,
+    conc_bounds,
+    dk_bounds,
+    make_conc_evaluator,
+    make_param_evaluator,
+    run_efast,
+    run_sobol,
+)
+from gab1_shp2_tpu.models.species import CO_NAMES, PNAMES
+from gab1_shp2_tpu.workloads import common
+
+
+def main(argv=None):
+    ap = common.default_argparser(__doc__)
+    ap.add_argument("--target", choices=("dk", "dk_membsfk", "concs"),
+                    default="dk")
+    ap.add_argument("--samples", type=int, default=1000,
+                    help="eFAST samples per parameter (reference: 1000)")
+    ap.add_argument("--method", choices=("efast", "sobol"),
+                    default="efast")
+    ap.add_argument("--resamples", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    system = (g.memb_sfk_system() if args.target == "dk_membsfk"
+              else g.base_system())
+    Co = g.default_co()
+    params = g.default_params()
+
+    if args.target == "concs":
+        # GSA over initial concentrations (GSA_concs.jl:62-71)
+        bounds = conc_bounds(Co)
+        names = CO_NAMES
+        evaluate = make_conc_evaluator(system, params, dr=args.dr,
+                                       tf=args.tf, rtol=args.rtol,
+                                       chunk=args.chunk)
+    else:
+        bounds = dk_bounds(params)
+        names = PNAMES
+        evaluate = make_param_evaluator(system, Co, dr=args.dr,
+                                        tf=args.tf, rtol=args.rtol,
+                                        chunk=args.chunk)
+
+    if args.method == "efast":
+        S1, ST, design = run_efast(evaluate, bounds,
+                                   samples=args.samples,
+                                   seed=args.seed + 123)
+        tag = f"eFAST_{args.target}_{args.samples}spls"
+    else:
+        S1, ST, design = run_sobol(evaluate, bounds, n=args.samples,
+                                   seed=args.seed + 123)
+        tag = f"Sobol_{args.target}_{args.samples}spls"
+
+    for label, M in (("S1", S1), ("ST", ST)):
+        rows = [[names[i]] + list(M[i]) for i in range(len(names))]
+        common.save_csv(f"{args.outdir}/{tag}_{label}.csv",
+                        ["param"] + list(GSA_VAR_NAMES), rows)
+    # quick ranking printout for the average-PG1Stot output
+    order = np.argsort(-ST[:, 5])
+    print(f"{tag}: top-8 parameters by ST on [pG1S2]_average:")
+    for i in order[:8]:
+        print(f"  {names[i]:9s} ST={ST[i,5]:.3f} S1={S1[i,5]:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""EGF-gefitinib pulse-chase driver (port of
+``Julia/gefitinib_pulse_chase.jl``).
+
+5 min EGF stimulation followed by a 2 min gefitinib chase (kp -> 0);
+ensemble median pEGFR decay compared against the shipped reaction-only
+ODE model trace ``pEGFR_pulsechase-res_dynamic.tsv``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import gab1_shp2_tpu as g
+from gab1_shp2_tpu.ensemble.engine import masked_quantiles, run_ensemble
+from gab1_shp2_tpu.workloads import common
+
+REFERENCE_TRACE = "/root/reference/Julia/pEGFR_pulsechase-res_dynamic.tsv"
+
+
+def reference_trace():
+    """The reaction-only ODE model's normalized pEGFR decay, on the
+    t = 4.97:0.07:7 grid (``gefitinib_pulse_chase.jl:54-56``)."""
+    if not os.path.exists(REFERENCE_TRACE):
+        return None, None
+    vals = np.loadtxt(REFERENCE_TRACE)
+    t = 4.97 + 0.07 * np.arange(len(vals))
+    return t, vals
+
+
+def main(argv=None):
+    ap = common.default_argparser(__doc__)
+    ap.add_argument("--t-prechase", type=float, default=5.0)
+    ap.add_argument("--t-chase", type=float, default=2.0)
+    args = ap.parse_args(argv)
+    args.nts = 120 if args.nts == 100 else args.nts  # reference Nts=120
+    out = args.outdir
+    os.makedirs(out, exist_ok=True)
+
+    system = g.base_system()
+    Co = g.default_co()
+    tf = args.t_prechase + args.t_chase
+    ens = common.get_ensemble(args.n, seed=args.seed)
+
+    pe, ok = run_ensemble(system, Co, ens, extract=lambda s: s.pE,
+                          solver=args.solver, dr=args.dr, tf=tf,
+                          Nts=args.nts, rtol=args.rtol, chunk=args.chunk,
+                          t_prechase=args.t_prechase)
+    q = np.asarray(masked_quantiles(pe, ok))
+    t = np.linspace(0, tf, args.nts + 1)
+    print(f"pulse-chase ensemble: {int(np.asarray(ok).sum())}/{len(ens)} ok")
+
+    # normalize to the chase start, as the reference trace is (100 at
+    # t~=5; gefitinib_pulse_chase.jl comparison convention)
+    i5 = int(np.argmin(np.abs(t - args.t_prechase)))
+    med = q[1]
+    norm = med / med[i5] * 100.0
+
+    ys = {"PDE ensemble median": norm}
+    t_dyn, ref = reference_trace()
+    if ref is not None:
+        interp = np.interp(t_dyn, t, norm)
+        rmse = float(np.sqrt(np.mean((interp - ref) ** 2)))
+        print(f"RMSE vs reaction-only ODE trace: {rmse:.2f} "
+              f"(percent points, trace normalized to 100)")
+        common.save_csv(f"{out}/pulse_chase_vs_ode.csv",
+                        ["t", "pde_norm", "ode_ref"],
+                        np.stack([t_dyn, interp, ref], axis=1).tolist())
+        ys["reaction-only ODE"] = np.interp(t, t_dyn, ref,
+                                            left=np.nan, right=np.nan)
+    common.save_line_plot(f"{out}/pulse_chase_pE.png", t, ys,
+                          "t (min)", "pEGFR (% of chase start)",
+                          "EGF pulse / gefitinib chase")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Workload-driver smoke tests (tiny configs; the full-size runs are
+exercised via the module mains on real hardware).
+
+All nine reference analysis drivers have workload ports; the two
+cheapest run here end-to-end, the rest are covered by compile checks of
+their pure-python setup paths plus the shared-engine tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_run_base_model_small(tmp_path):
+    from gab1_shp2_tpu.workloads import run_base_model
+
+    out = str(tmp_path)
+    run_base_model.main(["--n", "4", "--dr", "0.5", "--nts", "4",
+                         "--rtol", "1e-3", "--outdir", out])
+    assert os.path.exists(f"{out}/pct_shp2_bound_gab1.csv")
+    assert os.path.exists(f"{out}/ens_PG1Stot_median.png")
+    vals = np.genfromtxt(f"{out}/pct_shp2_bound_gab1.csv", delimiter=",",
+                         skip_header=1)
+    assert 0 < vals[1] < 100  # median % bound in range
+
+
+def test_plot_parameter_distributions(tmp_path):
+    from gab1_shp2_tpu.workloads import plot_parameter_distributions
+
+    out = str(tmp_path)
+    plot_parameter_distributions.main(["--n", "100", "--outdir", out])
+    assert os.path.exists(f"{out}/parameter_ensemble.csv")
+    ens = np.genfromtxt(f"{out}/parameter_ensemble.csv", delimiter=",",
+                        skip_header=1)
+    assert ens.shape == (100, 24)
+    assert (ens > 0).all()
+
+
+def test_length_scale_delta_estimates():
+    from gab1_shp2_tpu.models.params import default_params
+    from gab1_shp2_tpu.workloads.length_scales import delta_estimates
+
+    d = delta_estimates(default_params())
+    # delta = sqrt(D/k): sqrt(83.9/4.67) ~ 4.2 um for aSFK
+    assert d["aSFK"] == pytest.approx(4.24, abs=0.2)
+    assert d["PG1S"] > 0
+
+
+def test_pulse_chase_reference_trace():
+    from gab1_shp2_tpu.workloads.pulse_chase import reference_trace
+
+    t, vals = reference_trace()
+    if vals is None:
+        pytest.skip("reference trace not available")
+    assert len(vals) == 30
+    assert vals[0] == pytest.approx(100.0)
+    # decays by >90% overall (the tail recovers very slightly)
+    assert vals[-1] < 0.1 * vals[0]
+    assert np.sum(np.diff(vals) < 0) > 20
