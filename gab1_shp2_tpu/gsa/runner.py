@@ -36,13 +36,25 @@ GSA_VAR_NAMES = ("r_1/2, SFK", "r_1/10, SFK", "r_1/2, pG1S2",
 def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
                          R: float = 10.0, dr: float = 0.2, tf: float = 5.0,
                          rtol: float = 1e-4, atol: float = 1e-7,
-                         chunk: int = 256) -> Callable[[np.ndarray], np.ndarray]:
-    """Batch evaluator over packed 24-parameter vectors -> (N, 6)."""
+                         chunk: int = 256, method: str = "rosenbrock23",
+                         dtype=None, max_steps: int = 2000,
+                         ) -> Callable[[np.ndarray], np.ndarray]:
+    """Batch evaluator over packed 24-parameter vectors -> (N, 6).
+
+    ``max_steps`` caps the adaptive step count: eFAST bounds span six
+    decades, and a few pathological corners of that box would otherwise
+    dominate the lock-step batch wall-clock; capped-out lanes report
+    zeros exactly like the reference's ``on_error=zeros(6)``
+    (``sapdesolver.jl:363-366``)."""
+    if dtype is not None:
+        Co = jnp.asarray(Co).astype(dtype)
 
     def one(packed):
-        p = Params.unpack(packed)
+        p = Params.unpack(packed.astype(Co.dtype))
         sol, stats = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf, Nts=2,
-                                 rtol=rtol, atol=atol, return_stats=True)
+                                 rtol=rtol, atol=atol, method=method,
+                                 max_steps=max_steps,
+                                 return_stats=True)
         out = gsa_outputs(sol, R)
         ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all())
         return jnp.where(ok, out, jnp.zeros_like(out))
@@ -53,13 +65,19 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
 def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
                         R: float = 10.0, dr: float = 0.2, tf: float = 5.0,
                         rtol: float = 1e-4, atol: float = 1e-7,
-                        chunk: int = 256) -> Callable[[np.ndarray], np.ndarray]:
+                        chunk: int = 256, method: str = "rosenbrock23",
+                        dtype=None, max_steps: int = 2000,
+                        ) -> Callable[[np.ndarray], np.ndarray]:
     """Batch evaluator over initial-concentration 5-vectors -> (N, 6)
     (the concentration GSA, ``GSA_concs.jl``)."""
+    if dtype is not None:
+        params = Params(D=params.D.astype(dtype), k=params.k.astype(dtype))
 
     def one(co):
-        sol, stats = solve_stiff(system, co, params, R=R, dr=dr, tf=tf,
-                                 Nts=2, rtol=rtol, atol=atol,
+        sol, stats = solve_stiff(system, co.astype(params.D.dtype), params,
+                                 R=R, dr=dr, tf=tf,
+                                 Nts=2, rtol=rtol, atol=atol, method=method,
+                                 max_steps=max_steps,
                                  return_stats=True)
         out = gsa_outputs(sol, R)
         ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all())

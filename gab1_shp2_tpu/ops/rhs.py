@@ -151,23 +151,27 @@ def bc_closure(system: ReactionDiffusionSystem, C_near: jax.Array,
     aSFK gain term uses the freshly eliminated iSFK_R
     (``basepdesolver.jl:206-207``).
     """
-    gains = jnp.zeros_like(C_near)
-    losses = jnp.zeros_like(C_near)
+    # accumulate per-species gain/loss terms at trace time (python-side
+    # lists -> one stack; no scatter ops, which Pallas cannot lower)
+    zero = jnp.zeros_like(C_near[..., 0])
+    gains = [zero] * len(CYTO)
+    losses = [zero] * len(CYTO)
     for sb in system.surface_bindings:
         ci = CYTO[sb.cyto]
-        gains = gains.at[..., ci].add(k[sb.kr] * m[..., MEMB[sb.product]])
-        losses = losses.at[..., ci].add(k[sb.kf] * m[..., MEMB[sb.memb]])
+        gains[ci] = gains[ci] + k[sb.kr] * m[..., MEMB[sb.product]]
+        losses[ci] = losses[ci] + k[sb.kf] * m[..., MEMB[sb.memb]]
     Et = etot(m)
-    losses = losses.at[..., CYTO["iSFK"]].add(k["kSa"] * Et)
+    losses[CYTO["iSFK"]] = losses[CYTO["iSFK"]] + k["kSa"] * Et
 
-    C_R = (C_near + gains * dr / d_eff) / (1.0 + losses * dr / d_eff)
+    g = jnp.stack(gains, axis=-1)
+    l = jnp.stack(losses, axis=-1)
+    C_R = (C_near + g * dr / d_eff) / (1.0 + l * dr / d_eff)
     # aSFK: produced at the surface at the iSFK consumption rate.
     a = CYTO["aSFK"]
-    C_R = C_R.at[..., a].set(
-        C_near[..., a]
-        + k["kSa"] * C_R[..., CYTO["iSFK"]] * Et * dr / d_eff[..., a]
-    )
-    return C_R
+    asfk_R = (C_near[..., a]
+              + k["kSa"] * C_R[..., CYTO["iSFK"]] * Et * dr / d_eff[..., a])
+    mask = jnp.arange(len(CYTO), dtype=jnp.int32) == a  # int32: int64 has no Mosaic lowering
+    return jnp.where(mask, asfk_R[..., None], C_R)
 
 
 def laplacian(system: ReactionDiffusionSystem, C: jax.Array, r: jax.Array,
