@@ -50,6 +50,9 @@ def run_ensemble(
     t_prechase: Optional[float] = None,
     chunk: Optional[int] = None,
     device_axis=None,
+    method: str = "trbdf2",
+    linsolve_dtype=None,
+    max_steps: int = 20_000,
 ):
     """Solve the PDE for every ensemble member.
 
@@ -78,7 +81,9 @@ def run_ensemble(
         def one(p: Params):
             sol, stats = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf,
                                      Nts=Nts, rtol=rtol, atol=atol,
-                                     t_prechase=t_prechase,
+                                     t_prechase=t_prechase, method=method,
+                                     linsolve_dtype=linsolve_dtype,
+                                     max_steps=max_steps,
                                      return_stats=True)
             out = extract(sol)
             ok = jnp.logical_and(

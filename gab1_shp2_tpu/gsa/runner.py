@@ -38,6 +38,7 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
                          rtol: float = 1e-4, atol: float = 1e-7,
                          chunk: int = 256, method: str = "rosenbrock23",
                          dtype=None, max_steps: int = 2000,
+                         linsolve_dtype=None,
                          ) -> Callable[[np.ndarray], np.ndarray]:
     """Batch evaluator over packed 24-parameter vectors -> (N, 6).
 
@@ -54,6 +55,7 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
         sol, stats = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf, Nts=2,
                                  rtol=rtol, atol=atol, method=method,
                                  max_steps=max_steps,
+                                 linsolve_dtype=linsolve_dtype,
                                  return_stats=True)
         out = gsa_outputs(sol, R)
         ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all())
@@ -90,17 +92,30 @@ def _chunked_batch(one, chunk: int):
     vone = jax.jit(jax.vmap(one))
 
     def evaluate(X: np.ndarray) -> np.ndarray:
-        X = jnp.asarray(X)
-        n = X.shape[0]
+        Xh = np.asarray(X)
+        n = Xh.shape[0]
+        # cost-sorted chunking: a vmapped adaptive solve runs lock-step,
+        # so a chunk costs its *stiffest* member.  Sorting samples by a
+        # stiffness proxy (total rate mass, which drives the step count)
+        # makes chunks homogeneous and cuts the lock-step waste.
+        if Xh.shape[1] == 24:
+            cost = Xh[:, 7:].sum(axis=1)  # sum of kinetic rates
+        else:
+            cost = Xh.sum(axis=1)
+        order = np.argsort(cost)
+        Xs = jnp.asarray(Xh[order])
         outs = []
         for s in range(0, n, chunk):
-            blk = X[s:s + chunk]
+            blk = Xs[s:s + chunk]
             pad = chunk - blk.shape[0]
             if pad:
                 blk = jnp.concatenate([blk, blk[-1:].repeat(pad, 0)], axis=0)
             o = vone(blk)
             outs.append(np.asarray(o[: chunk - pad if pad else chunk]))
-        return np.concatenate(outs, axis=0)
+        sorted_out = np.concatenate(outs, axis=0)
+        out = np.empty_like(sorted_out)
+        out[order] = sorted_out
+        return out
 
     return evaluate
 
@@ -114,8 +129,19 @@ def run_efast(evaluate: Callable[[np.ndarray], np.ndarray],
                           log_space=log_space,
                           rng=np.random.default_rng(seed))
     Y = evaluate(design.X)
+    _log_dropped(Y)
     S1, ST = efast_indices(Y, design, num_harmonics=num_harmonics)
     return S1, ST, design
+
+
+def _log_dropped(Y: np.ndarray) -> None:
+    """No silent caps: failed samples enter the spectra as zeros (the
+    reference's on_error=zeros idiom) and bias the indices if numerous —
+    always report how many were dropped."""
+    zero = float((np.abs(np.asarray(Y)).sum(axis=-1) == 0).mean())
+    if zero > 0:
+        print(f"[gsa] {zero:.1%} of model evaluations failed/capped and "
+              f"enter the estimator as zeros")
 
 
 def run_sobol(evaluate: Callable[[np.ndarray], np.ndarray],
@@ -124,6 +150,7 @@ def run_sobol(evaluate: Callable[[np.ndarray], np.ndarray],
     """Full Sobol sweep with Saltelli sampling and Jansen estimators."""
     design = sobol_design(bounds, n, log_space=log_space, seed=seed)
     Y = evaluate(design.X)
+    _log_dropped(Y)
     S1, ST = sobol_indices(Y, design)
     return S1, ST, design
 

@@ -87,9 +87,9 @@ def _rhs_blocks_fn(system: ReactionDiffusionSystem, R: float, dr: float):
 
 
 @partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps",
-                                   "method"))
+                                   "method", "linsolve_dtype"))
 def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
-                      max_steps, h0, method):
+                      max_steps, h0, method, linsolve_dtype):
     dtype = Co.dtype
     Nr = int(round(R / dr))
     M = Nr - 1
@@ -102,7 +102,19 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
     y0_state = initial_state(Co, Nr)
     y0 = state_to_blocks(y0_state.C_int, y0_state.m)
 
-    eye = jnp.eye(N_CYTO, dtype=dtype)[None].repeat(NB, axis=0)
+    ls_dtype = jnp.dtype(linsolve_dtype) if linsolve_dtype else dtype
+    eye = jnp.eye(N_CYTO, dtype=ls_dtype)[None].repeat(NB, axis=0)
+
+    def factor(L, D, U):
+        return bt_factor(L.astype(ls_dtype), D.astype(ls_dtype),
+                         U.astype(ls_dtype))
+
+    def solve(fac, b):
+        # mixed precision: factor/solve in ls_dtype (f32 on TPU), state
+        # and residuals in the trajectory dtype.  For Newton methods the
+        # W-solve is a preconditioner, so a low-precision solve affects
+        # only the convergence rate, never the solution accuracy.
+        return bt_solve(fac, b.astype(ls_dtype)).astype(dtype)
 
     ntol = 0.03      # Newton tolerance in scaled-error units
     newton_iters = 6
@@ -132,7 +144,7 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             def nbody(c):
                 y, _, it = c
                 Gv = y - A * h * f(y) - rhs_const
-                dy = bt_solve(fac, -Gv)
+                dy = solve(fac, -Gv)
                 ynew = y + dy
                 return ynew, scaled_norm(dy, ynew, ynew), it + 1
 
@@ -153,8 +165,8 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             Lj, Dj, Uj = block_jacobian(f, y)
 
             if method == "trbdf2":
-                fac = bt_factor(-A * h * Lj, eye - A * h * Dj,
-                                -A * h * Uj)
+                fac = factor(-A * h * Lj, eye - A * h * Dj.astype(ls_dtype),
+                             -A * h * Uj)
                 # TR stage to t + gamma*h
                 rc1 = y + A * h * f_n
                 y_g, ok1 = newton(fac, y + GAMMA * h * f_n, rc1, h)
@@ -167,19 +179,19 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
 
                 # embedded 3rd-order error estimate, stiffly filtered
                 y_hat = y + h * (_B1 * f_n + _B2 * f_g + _B3 * f_1)
-                est = bt_solve(fac, y_1 - y_hat)
+                est = solve(fac, y_1 - y_hat)
                 errn = scaled_norm(est, y, y_1)
                 ok = jnp.logical_and(ok1, ok2)
             elif method == "rosenbrock23":
                 d = _ROS_D
-                fac = bt_factor(-d * h * Lj, eye - d * h * Dj,
-                                -d * h * Uj)
-                k1 = bt_solve(fac, f_n)
+                fac = factor(-d * h * Lj, eye - d * h * Dj.astype(ls_dtype),
+                             -d * h * Uj)
+                k1 = solve(fac, f_n)
                 f_half = f(y + 0.5 * h * k1)
-                k2 = bt_solve(fac, f_half - k1) + k1
+                k2 = solve(fac, f_half - k1) + k1
                 y_1 = y + h * k2
                 f_1 = f(y_1)
-                k3 = bt_solve(fac, f_1 - _ROS_E32 * (k2 - f_half)
+                k3 = solve(fac, f_1 - _ROS_E32 * (k2 - f_half)
                               - 2.0 * (k1 - f_n))
                 est = (h / 6.0) * (k1 - 2.0 * k2 + k3)
                 errn = scaled_norm(est, y, y_1)
@@ -276,13 +288,19 @@ def solve_stiff(
     t_prechase: Optional[float] = None,
     return_stats: bool = False,
     method: str = "trbdf2",
+    linsolve_dtype=None,
 ):
     """Stiff MoL solve with adaptive TRBDF2 (default) or Rosenbrock23.
 
     ``method="rosenbrock23"`` selects the linearly implicit W-method —
     cheaper per step (no Newton iteration) and the faster choice for
     large vmapped ensembles on TPU; ``"trbdf2"`` is the Newton-based
-    L-stable reference method.
+    L-stable reference method.  ``linsolve_dtype=jnp.float32`` enables
+    mixed precision: factorizations and back-solves in f32 with f64
+    state/residuals — exact for trbdf2 (the W-solve is a
+    preconditioner), and W-method-consistent for rosenbrock23 (an
+    inexact W is permitted; the embedded error estimate still controls
+    the step).
 
     Tolerance-matched (not step-matched) to the explicit reference path —
     the reference's own cross-validation idiom (explicit FTCS vs
@@ -303,9 +321,10 @@ def solve_stiff(
         p2 = params.replace(kp=0.0)
         legs = ((0.0, float(t_prechase), params),
                 (float(t_prechase), float(tf), p2))
+    ls = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
     sol, stats = _solve_stiff_impl(system, Co, params, legs, float(R),
                                    float(dr), int(Nts), rtol, atol,
-                                   int(max_steps), float(h0), method)
+                                   int(max_steps), float(h0), method, ls)
     if return_stats:
         return sol, stats
     return sol

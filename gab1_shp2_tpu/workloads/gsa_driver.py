@@ -33,7 +33,20 @@ def main(argv=None):
     ap.add_argument("--method", choices=("efast", "sobol"),
                     default="efast")
     ap.add_argument("--resamples", type=int, default=1)
+    ap.add_argument("--max-steps", type=int, default=2500)
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 solves: fast, but the x1000-bounds "
+                         "corners hit the f32 error floor and zero out "
+                         "(~60%% of samples) -- f64 with f32 linear "
+                         "algebra is the default")
     args = ap.parse_args(argv)
+    import jax.numpy as jnp
+
+    solver_kw = dict(max_steps=args.max_steps)
+    if args.f32:
+        solver_kw["dtype"] = jnp.float32
+    else:
+        solver_kw["linsolve_dtype"] = jnp.float32
 
     system = (g.memb_sfk_system() if args.target == "dk_membsfk"
               else g.base_system())
@@ -46,17 +59,19 @@ def main(argv=None):
         names = CO_NAMES
         evaluate = make_conc_evaluator(system, params, dr=args.dr,
                                        tf=args.tf, rtol=args.rtol,
-                                       chunk=args.chunk)
+                                       chunk=args.chunk,
+                                       max_steps=args.max_steps)
     else:
         bounds = dk_bounds(params)
         names = PNAMES
         evaluate = make_param_evaluator(system, Co, dr=args.dr,
                                         tf=args.tf, rtol=args.rtol,
-                                        chunk=args.chunk)
+                                        chunk=args.chunk, **solver_kw)
 
     if args.method == "efast":
         S1, ST, design = run_efast(evaluate, bounds,
                                    samples=args.samples,
+                                   num_harmonics=4,
                                    seed=args.seed + 123)
         tag = f"eFAST_{args.target}_{args.samples}spls"
     else:

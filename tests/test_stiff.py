@@ -170,3 +170,22 @@ class TestStiffSolve:
                           dr=0.4, tf=5.0, Nts=4, rtol=1e-4, atol=1e-7)
         np.testing.assert_allclose(np.asarray(sol.C[3]), np.asarray(one.C),
                                    rtol=1e-10, atol=1e-12)
+
+
+class TestMixedPrecision:
+    def test_mixed_matches_full_f64(self):
+        """f32 factorization under f64 state must not change accuracy
+        or step counts (the W-solve is a preconditioner)."""
+        import jax.numpy as jnp
+
+        sys_ = base_system()
+        co = default_co()
+        p = default_params()
+        kw = dict(dr=0.4, tf=2.0, Nts=2, rtol=1e-5, atol=1e-8)
+        full, st_f = solve_stiff(sys_, co, p, return_stats=True, **kw)
+        mixed, st_m = solve_stiff(sys_, co, p, return_stats=True,
+                                  linsolve_dtype=jnp.float32, **kw)
+        np.testing.assert_allclose(np.asarray(mixed.C[-1]),
+                                   np.asarray(full.C[-1]), rtol=1e-5)
+        assert abs(int(st_m.n_accepted) - int(st_f.n_accepted)) <= 2
+        assert not bool(st_m.failed)
