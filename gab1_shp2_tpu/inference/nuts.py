@@ -316,18 +316,15 @@ def _adapt(state: NUTSState, info: NUTSInfo, t: jax.Array, *,
                           w_m2=m2 if adapt_mass else state.w_m2)
 
 
-@partial(jax.jit, static_argnames=("logdensity", "num_warmup",
-                                  "num_samples", "max_depth",
+@partial(jax.jit, static_argnames=("logdensity", "num_warmup", "max_depth",
                                   "target_accept"))
-def run_nuts(logdensity: Callable, q0: jax.Array, rng: jax.Array, *,
-             num_warmup: int = 500, num_samples: int = 1000,
-             max_depth: int = 10, target_accept: float = 0.65,
-             init_step_size: float = 0.1):
-    """Run one NUTS chain; vmap over (q0, rng) for multiple chains.
-
-    Returns ``(samples (num_samples, d), info)`` with per-draw
-    acceptance statistics, divergences, depths, and log densities.
-    """
+def warmup(logdensity: Callable, q0: jax.Array, rng: jax.Array, *,
+           num_warmup: int = 500, max_depth: int = 10,
+           target_accept: float = 0.65,
+           init_step_size: float = 0.1) -> NUTSState:
+    """Adaptation phase: dual-averaged step size + diagonal mass matrix
+    (Welford estimate adopted at the warmup midpoint).  Returns the
+    ready-to-sample chain state."""
     state = init(logdensity, q0, rng, step_size=init_step_size)
 
     def warm_step(state, t):
@@ -348,7 +345,17 @@ def run_nuts(logdensity: Callable, q0: jax.Array, rng: jax.Array, *,
         return state, None
 
     state, _ = jax.lax.scan(warm_step, state, jnp.arange(num_warmup))
-    state = state._replace(step_size=jnp.exp(state.log_eps_bar))
+    return state._replace(step_size=jnp.exp(state.log_eps_bar))
+
+
+@partial(jax.jit, static_argnames=("logdensity", "num_samples", "max_depth"))
+def sample(logdensity: Callable, state: NUTSState, *,
+           num_samples: int = 100, max_depth: int = 10):
+    """Draw a block of samples from a warmed-up state.
+
+    Returns ``(state, qs, info)``; call repeatedly (checkpointing the
+    small ``NUTSState`` pytree between blocks) for resumable long runs.
+    """
 
     def draw(state, _):
         state, info = _nuts_step(logdensity, state, max_depth=max_depth)
@@ -357,6 +364,26 @@ def run_nuts(logdensity: Callable, q0: jax.Array, rng: jax.Array, *,
 
     state, (qs, acc, div, depth, logp) = jax.lax.scan(
         draw, state, None, length=num_samples)
-    return qs, {"accept_stat": acc, "diverged": div, "depth": depth,
-                "logp": logp, "step_size": state.step_size,
-                "inv_mass": state.inv_mass}
+    return state, qs, {"accept_stat": acc, "diverged": div, "depth": depth,
+                       "logp": logp}
+
+
+def run_nuts(logdensity: Callable, q0: jax.Array, rng: jax.Array, *,
+             num_warmup: int = 500, num_samples: int = 1000,
+             max_depth: int = 10, target_accept: float = 0.65,
+             init_step_size: float = 0.1):
+    """Run one NUTS chain; vmap over (q0, rng) for multiple chains.
+
+    Returns ``(samples (num_samples, d), info)`` with per-draw
+    acceptance statistics, divergences, depths, and log densities.
+    ``warmup`` + ``sample`` expose the same run in resumable stages.
+    """
+    state = warmup(logdensity, q0, rng, num_warmup=num_warmup,
+                   max_depth=max_depth, target_accept=target_accept,
+                   init_step_size=init_step_size)
+    state, qs, info = sample(logdensity, state, num_samples=num_samples,
+                             max_depth=max_depth)
+    info = dict(info)
+    info["step_size"] = state.step_size
+    info["inv_mass"] = state.inv_mass
+    return qs, info

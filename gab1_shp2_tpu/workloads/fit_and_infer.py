@@ -22,7 +22,8 @@ from gab1_shp2_tpu.inference.loss import (
     make_observable_fn,
 )
 from gab1_shp2_tpu.inference.map_fit import map_fit
-from gab1_shp2_tpu.inference.nuts import run_nuts
+from gab1_shp2_tpu.inference.nuts import NUTSState, sample, warmup
+from gab1_shp2_tpu.utils.cache import Checkpointer
 from gab1_shp2_tpu.workloads import common
 
 QS = (0.025, 0.25, 0.5, 0.75, 0.975)
@@ -60,14 +61,50 @@ def main(argv=None):
             x_map = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
         keys = jax.random.split(jax.random.PRNGKey(args.seed), args.chains)
 
-        def chain(key):
-            return run_nuts(lp, x_map, key, num_warmup=args.warmup,
-                            num_samples=args.samples, max_depth=8,
-                            target_accept=0.65)
+        # resumable sampling: warm up once, then draw in checkpointed
+        # blocks (the reference has no mid-run checkpointing; long NUTS
+        # runs here survive interruption)
+        block = max(1, min(100, args.samples))
+        cfg = {"dr": args.dr, "rtol": args.rtol, "chains": args.chains,
+               "warmup": args.warmup, "samples": args.samples,
+               "seed": args.seed}
+        ck = Checkpointer("nuts", cfg, cache_dir=f"{out}/cache", every=60.0)
+        saved = ck.restore()
 
-        qs_all, info = jax.vmap(chain)(keys)
+        vwarm = jax.vmap(lambda k: warmup(
+            lp, x_map, k, num_warmup=args.warmup, max_depth=8,
+            target_accept=0.65))
+        vsample = jax.vmap(lambda s: sample(lp, s, num_samples=block,
+                                            max_depth=8))
+
+        if saved is None:
+            state = vwarm(keys)
+            qs_blocks, div_blocks, done = [], [], 0
+        else:
+            state = NUTSState(*[jnp.asarray(saved[f"s{i}"])
+                                for i in range(len(NUTSState._fields))])
+            qs_blocks = [saved["qs"]]
+            div_blocks = [saved["div"]]
+            done = int(saved["done"])
+            print(f"resumed NUTS at {done}/{args.samples} samples")
+
+        while done < args.samples:
+            state, qs, info = vsample(state)
+            qs_blocks.append(np.asarray(qs))
+            div_blocks.append(np.asarray(info["diverged"]))
+            done += block
+            ck.maybe_save({**{f"s{i}": np.asarray(l) for i, l in
+                              enumerate(state)},
+                           "qs": np.concatenate(qs_blocks, axis=1),
+                           "div": np.concatenate(div_blocks, axis=1),
+                           "done": done})
+            print(f"  {done}/{args.samples} samples", flush=True)
+        ck.clear()
+
+        qs_all = np.concatenate(qs_blocks, axis=1)[:, : args.samples]
+        div_all = np.concatenate(div_blocks, axis=1)[:, : args.samples]
         samples = np.exp(np.asarray(qs_all).reshape(-1, 4))
-        div = int(np.asarray(info["diverged"]).sum())
+        div = int(div_all.sum())
         print(f"NUTS: {args.chains}x{args.samples} samples, "
               f"{div} divergences")
         common.save_csv(
