@@ -59,6 +59,7 @@ from gab1_shp2_tpu.ops.rhs import (
 
 LANES = 128
 SUBL = 16
+_FP_TOL = 1e-6  # membrane fixed-point relative tolerance (reference default)
 
 # Mosaic lowering recurses through the kernel jaxpr; the vmapped
 # reaction lowering makes it deep enough to hit CPython's default limit
@@ -103,9 +104,16 @@ def _step_fn(system, Nr, dr, maxiters):
 
         C_near = C_new[:, :N_CYTO, Nr - 1]  # (B, 10)
 
-        # membrane fixed point (fixed iteration count)
-        def fp(i, carry):
-            CR, mm = carry
+        # membrane fixed point with the reference's tolerance early
+        # exit (basepdesolver.jl:197-242) -- the whole block iterates
+        # until every member converged (typically 2-4 iterations; the
+        # fixed 20 the reference caps at would cost 5x)
+        def fp_cond(carry):
+            _, _, err, it = carry
+            return jnp.logical_and(it < maxiters, err > _FP_TOL)
+
+        def fp(carry):
+            CR, mm, _, it = carry
             CR_new = jax.vmap(
                 lambda cn, mi, kb, de: bc_closure(
                     system, cn, mi, kdict(kb), de[:N_CYTO], dr)
@@ -113,10 +121,14 @@ def _step_fn(system, Nr, dr, maxiters):
             m_new = m + dt[:, 0, :1] * jax.vmap(
                 lambda mi, cr, kb: memb_rates(system, mi, cr, kdict(kb))
             )(m, CR_new, k_batch)
-            return CR_new, m_new
+            rel = jnp.abs(1.0 - CR_new / jnp.where(CR == 0.0, 1e-30, CR))
+            rel_m = jnp.abs(1.0 - m_new / jnp.where(mm == 0.0, 1e-30, mm))
+            err = jnp.maximum(jnp.max(rel), jnp.max(rel_m))
+            return CR_new, m_new, err, it + 1
 
-        CR, m_new = jax.lax.fori_loop(jnp.int32(0), jnp.int32(maxiters),
-                                      fp, (gCR, gm))
+        CR, m_new, _, _ = jax.lax.while_loop(
+            fp_cond, fp,
+            (gCR, gm, jnp.float32(jnp.inf), jnp.int32(0)))
 
         CR16 = jnp.concatenate(
             [CR, jnp.zeros((CR.shape[0], SUBL - N_CYTO), CR.dtype)], axis=1)
