@@ -55,15 +55,24 @@ def main(argv=None):
             "GAB1-SHP2 at tf: base vs HeLa abundances",
             bands={"base 68%": (q_b[0], q_b[2]),
                    "HeLa 68%": (q_h[0], q_h[2])})
-        # center:surface ratio comparison (run_base_model_HeLa.jl:295-318)
+        # center:surface ratio comparison with a native JZS Bayes
+        # factor (the reference calls R's BayesFactor via RCall;
+        # run_base_model_HeLa.jl:295-318)
+        groups = {}
         for name, co in (("base", co_base), ("hela", g.hela_co())):
             cs, ok = run_ensemble(
                 base_sys, co, ens,
                 extract=lambda s: s.PG1Stot[-1, 0] / s.PG1Stot[-1, -1],
                 **kw)
             qs = np.asarray(masked_quantiles(cs, ok))
+            groups[name] = np.asarray(cs)[np.asarray(ok)]
             print(f"{name}: center:surface PG1Stot ratio median "
                   f"{qs[1]:.4f} [{qs[0]:.4f}, {qs[2]:.4f}]")
+        from gab1_shp2_tpu.utils.stats import hedges_g, jzs_ttest_bf10
+
+        bf = jzs_ttest_bf10(groups["base"], groups["hela"])
+        print(f"JZS Bayes factor (base vs HeLa cs-ratio): BF10 = {bf:.3g}, "
+              f"Hedges g = {hedges_g(groups['base'], groups['hela']):.3f}")
 
     elif args.variant == "rect":
         # run_base_model_rect.jl:81-89

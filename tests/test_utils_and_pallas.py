@@ -108,3 +108,16 @@ class TestPallasKernel:
         with pytest.raises(ValueError, match="128-lane"):
             solve_explicit_pallas(base_system(), default_co(), pb,
                                   dr=0.05, tf=0.1)
+
+
+class TestStats:
+    def test_jzs_bayes_factor(self):
+        from gab1_shp2_tpu.utils.stats import hedges_g, jzs_ttest_bf10
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(0.0, 1.0, 200)
+        # strong separation -> decisive evidence for a difference
+        assert jzs_ttest_bf10(a, rng.normal(2.0, 1.0, 200)) > 1e6
+        # same distribution -> evidence favors the null
+        assert jzs_ttest_bf10(a, rng.normal(0.0, 1.0, 200)) < 1.0
+        assert abs(hedges_g(a, a + 1.0) + 1.0) < 0.05
