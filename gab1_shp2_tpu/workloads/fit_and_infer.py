@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--samples", type=int, default=1000)
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--starts", type=int, default=101)
+    ap.add_argument("--predictive", type=int, default=0,
+                    help="run prior/posterior predictive checks with "
+                         "this many draws each "
+                         "(param_fitting+inference_finitediff.jl:491-527)")
     args = ap.parse_args(argv)
     out = args.outdir
     os.makedirs(out, exist_ok=True)
@@ -118,6 +122,42 @@ def main(argv=None):
         common.save_csv(f"{out}/posterior_quantiles.csv",
                         ["param"] + [f"q{q}" for q in QS] + ["mean"], rows)
 
+        if args.predictive:
+            _predictive_checks(obs, samples, args, out)
+
 
 if __name__ == "__main__":
     main()
+
+
+def _predictive_checks(obs, posterior_samples, args, out):
+    """Prior and posterior predictive distributions of the observable
+    (% SHP2-bound GAB1), mirroring the reference's predict() checks."""
+    import jax
+
+    from gab1_shp2_tpu.models.params import EXPTL_PCT_SHP2_BOUND_GAB1
+    from gab1_shp2_tpu.priors.literature import build_priors
+
+    m = args.predictive
+    rng = np.random.default_rng(args.seed + 7)
+    ln = build_priors().lognorm
+    prior_draws = np.stack(
+        [rng.lognormal(*ln[n]) for n in FIT_NAMES], axis=-1
+    ) if m == 1 else np.stack(
+        [rng.lognormal(ln[n][0], ln[n][1], size=m) for n in FIT_NAMES],
+        axis=-1)
+    post_idx = rng.choice(len(posterior_samples), size=m, replace=False)
+    post_draws = posterior_samples[post_idx]
+
+    vobs = jax.jit(jax.vmap(lambda x: obs(jnp.log(x))))
+    rows = []
+    for label, draws in (("prior", prior_draws), ("posterior", post_draws)):
+        y = np.asarray(vobs(jnp.asarray(draws)))
+        y = y[np.isfinite(y)]
+        q = np.quantile(y, QS)
+        rows.append([label] + list(q))
+        print(f"{label} predictive %SHP2-bound GAB1: median {q[2]:.2f} "
+              f"[{q[0]:.2f}, {q[4]:.2f}] (datum "
+              f"{EXPTL_PCT_SHP2_BOUND_GAB1[0]})")
+    common.save_csv(f"{out}/predictive_checks.csv",
+                    ["which"] + [f"q{q}" for q in QS], rows)
