@@ -11,7 +11,7 @@ ensemble call; failed lanes contribute zeros
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ into one vmapped ensemble call.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 from scipy.stats import qmc

@@ -19,9 +19,8 @@ and label-free per-region counting.  It runs on images stacked as
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

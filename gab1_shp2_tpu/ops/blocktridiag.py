@@ -14,7 +14,7 @@ ensemble workloads (SURVEY.md section 6) use it.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,7 @@ the stencil and all reaction terms into a handful of elementwise kernels.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

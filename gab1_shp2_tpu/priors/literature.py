@@ -13,7 +13,7 @@ via Avogadro, per-second -> per-minute).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 from typing import Dict, List, Tuple
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np
