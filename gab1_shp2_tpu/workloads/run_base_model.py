@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--perturb", action="store_true",
                     help="run the single-parameter perturbation sweeps "
                          "(run_base_model.jl:465-818)")
+    ap.add_argument("--scales", action="store_true",
+                    help="time/length-scale analysis over the ensemble "
+                         "(run_base_model.jl:823-902)")
     args = ap.parse_args(argv)
     system = g.base_system()
     Co = g.default_co()
@@ -96,6 +99,45 @@ def main(argv=None):
                         ["param", "factor", "pct_shp2_bound_gab1"], rows)
         print(f"perturbation sweep written ({len(rows)} rows)")
 
+    if args.scales:
+        _scales_analysis(ens, g.default_params(), out)
+
 
 if __name__ == "__main__":
     main()
+
+
+def _scales_analysis(ens, base, out):
+    """Ensemble time scales (run_base_model.jl:823-855) and
+    order-of-magnitude delta = sqrt(D/k) length scales (:858-902)."""
+    from gab1_shp2_tpu.models.species import PNAMES
+
+    idx = {n: i for i, n in enumerate(PNAMES)}
+    e = np.asarray(ens)
+    tau = {
+        "tau_Si": 60.0 / e[:, idx["kSi"]],
+        "tau_G1dp": 60.0 / e[:, idx["kG1dp"]],
+        "tau_S2r": 60.0 / e[:, idx["kS2r"]],
+    }
+    R = 10.0
+    print(f"tau_EGFRp  = {60.0 / float(base.kp):.3g} sec")
+    print(f"tau_EGFRdp = {60.0 / float(base.kdp):.3g} sec")
+    print(f"tau_Dsfk   = {R**2 / (6 * float(base.Dsfk)) * 60:.3g} sec")
+    print(f"tau_Dg1s2  = {R**2 / (6 * float(base.Dg1s2)) * 60:.3g} sec")
+    for name, v in tau.items():
+        print(f"{name} median = {np.median(v):.3g} sec")
+
+    delta = {
+        "delta_SFK": np.sqrt(e[:, idx["Dsfk"]] / e[:, idx["kSi"]]),
+        "delta_dis": np.sqrt(e[:, idx["Dg1s2"]] / e[:, idx["kS2r"]]),
+        "delta_dep": np.sqrt(e[:, idx["Dg1"]] / e[:, idx["kG1dp"]]),
+    }
+    delta["delta_G1S2"] = (delta["delta_SFK"] + delta["delta_dis"]
+                           + delta["delta_dep"])
+    rows = []
+    for name, v in delta.items():
+        q = np.quantile(v, [0.159, 0.5, 0.841])
+        rows.append([name, q[1], q[0], q[2]])
+        print(f"{name}: median {q[1]:.2f} um [{q[0]:.2f}, {q[2]:.2f}]")
+    common.save_csv(f"{out}/oom_length_scales.csv",
+                    ["scale", "median_um", "lo68", "hi68"], rows)
