@@ -101,6 +101,7 @@ def main(argv=None):
         # hi-EGFR-binding sweep (run_base_model_hi-EGFR-binding.jl:85-150)
         co = g.hela_co() if args.variant == "hi_egfr_hela" else co_base
         rows = []
+        scatter = []
         for fac in (1.0, 10.0, 100.0, 1000.0, 10000.0):
             pe = Params.unpack(jnp.asarray(ens)).scale(kG2f=fac)
             cs, ok = run_ensemble(
@@ -112,11 +113,26 @@ def main(argv=None):
                 **kw)
             qs = np.asarray(masked_quantiles(cs, ok))
             rows.append([fac, qs[1, 0], qs[0, 0], qs[2, 0], qs[1, 1]])
+            okm = np.asarray(ok)
+            scatter.append(np.concatenate(
+                [np.full((int(okm.sum()), 1), fac),
+                 np.asarray(cs)[okm]], axis=1))
             print(f"kG2f x{fac:g}: cs ratio median {qs[1,0]:.4f}, "
                   f"EGFR-bound fraction {qs[1,1]:.4f}")
         common.save_csv(f"{out}/hi_egfr_{args.variant}.csv",
                         ["kG2f_factor", "cs_ratio_median", "cs_lo", "cs_hi",
                          "egfr_bound_frac_median"], rows)
+        # per-member scatter + linear fit of cs-ratio vs EGFR-bound
+        # fraction (run_base_model_hi-EGFR-binding.jl:85-150)
+        sc = np.concatenate(scatter, axis=0)
+        frac, csr = sc[:, 2], sc[:, 1]
+        slope, intercept = np.polyfit(frac, csr, 1)
+        r = np.corrcoef(frac, csr)[0, 1]
+        print(f"linear fit cs_ratio ~ {slope:.4f} * egfr_bound_frac "
+              f"+ {intercept:.4f}  (r = {r:.3f}, n = {len(sc)})")
+        common.save_csv(f"{out}/hi_egfr_{args.variant}_scatter.csv",
+                        ["kG2f_factor", "cs_ratio", "egfr_bound_frac"],
+                        sc.tolist())
 
 
 if __name__ == "__main__":
