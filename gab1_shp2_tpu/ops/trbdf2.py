@@ -297,10 +297,12 @@ def solve_stiff(
     large vmapped ensembles on TPU; ``"trbdf2"`` is the Newton-based
     L-stable reference method.  ``linsolve_dtype=jnp.float32`` enables
     mixed precision: factorizations and back-solves in f32 with f64
-    state/residuals — exact for trbdf2 (the W-solve is a
-    preconditioner), and W-method-consistent for rosenbrock23 (an
-    inexact W is permitted; the embedded error estimate still controls
-    the step).
+    state/residuals.  This is exact for trbdf2 (the W-solve is only a
+    Newton preconditioner) but NOT for rosenbrock23, whose order
+    conditions assume accurate stage solves — measured on the x1000-
+    bounds GSA corners, ros23+f32 solves fail on ~70% of samples while
+    full-f64 ros23 fails on none.  Use mixed precision with trbdf2
+    only.
 
     Tolerance-matched (not step-matched) to the explicit reference path —
     the reference's own cross-validation idiom (explicit FTCS vs

@@ -45,8 +45,8 @@ def main(argv=None):
     solver_kw = dict(max_steps=args.max_steps)
     if args.f32:
         solver_kw["dtype"] = jnp.float32
-    else:
-        solver_kw["linsolve_dtype"] = jnp.float32
+    # default: full-f64 rosenbrock23 — the x1000-bounds corners need
+    # accurate stage solves (mixed/f32 fails on most corner samples)
 
     system = (g.memb_sfk_system() if args.target == "dk_membsfk"
               else g.base_system())
