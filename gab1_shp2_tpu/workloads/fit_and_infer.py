@@ -37,6 +37,8 @@ def main(argv=None):
     ap.add_argument("--samples", type=int, default=1000)
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--starts", type=int, default=101)
+    ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--init-step", type=float, default=0.1)
     ap.add_argument("--predictive", type=int, default=0,
                     help="run prior/posterior predictive checks with "
                          "this many draws each "
@@ -76,10 +78,11 @@ def main(argv=None):
         saved = ck.restore()
 
         vwarm = jax.vmap(lambda k: warmup(
-            lp, x_map, k, num_warmup=args.warmup, max_depth=8,
-            target_accept=0.65))
+            lp, x_map, k, num_warmup=args.warmup,
+            max_depth=args.max_depth, target_accept=0.65,
+            init_step_size=args.init_step))
         vsample = jax.vmap(lambda s: sample(lp, s, num_samples=block,
-                                            max_depth=8))
+                                            max_depth=args.max_depth))
 
         if saved is None:
             state = vwarm(keys)
