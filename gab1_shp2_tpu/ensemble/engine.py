@@ -118,13 +118,21 @@ def run_ensemble(
     if chunk is None or chunk >= N:
         out, ok = jax.jit(vone)(batched_args)
     else:
-        assert N % chunk == 0, "chunk must divide ensemble size"
+        # pad the ensemble up to a chunk multiple (repeat the last
+        # member); padded lanes are dropped after the scan
+        pad = (-N) % chunk
+        if pad:
+            batched_args = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0),
+                batched_args)
+        n_tot = N + pad
         args = jax.tree_util.tree_map(
-            lambda a: a.reshape((N // chunk, chunk) + a.shape[1:]),
+            lambda a: a.reshape((n_tot // chunk, chunk) + a.shape[1:]),
             batched_args)
         out, ok = jax.lax.map(vone, args)
         out, ok = jax.tree_util.tree_map(
-            lambda a: a.reshape((N,) + a.shape[2:]), (out, ok))
+            lambda a: a.reshape((n_tot,) + a.shape[2:])[:N], (out, ok))
     return out, ok
 
 

@@ -104,16 +104,15 @@ def _step_fn(system, Nr, dr, maxiters):
 
         C_near = C_new[:, :N_CYTO, Nr - 1]  # (B, 10)
 
-        # membrane fixed point with the reference's tolerance early
-        # exit (basepdesolver.jl:197-242) -- the whole block iterates
-        # until every member converged (typically 2-4 iterations; the
-        # fixed 20 the reference caps at would cost 5x)
-        def fp_cond(carry):
-            _, _, err, it = carry
-            return jnp.logical_and(it < maxiters, err > _FP_TOL)
-
-        def fp(carry):
-            CR, mm, _, it = carry
+        # membrane fixed point, fixed iteration count: the coupling
+        # contracts fast at explicit-stability step sizes (measured
+        # convergence to the f32 floor within 3 iterations at baseline
+        # parameters -- see tests), so a small fixed count replaces the
+        # reference's tolerance loop (basepdesolver.jl:197-242; a
+        # data-dependent while_loop here also crashes the Mosaic
+        # compiler).  The XLA paths keep exact tolerance semantics.
+        def fp(i, carry):
+            CR, mm = carry
             CR_new = jax.vmap(
                 lambda cn, mi, kb, de: bc_closure(
                     system, cn, mi, kdict(kb), de[:N_CYTO], dr)
@@ -121,14 +120,10 @@ def _step_fn(system, Nr, dr, maxiters):
             m_new = m + dt[:, 0, :1] * jax.vmap(
                 lambda mi, cr, kb: memb_rates(system, mi, cr, kdict(kb))
             )(m, CR_new, k_batch)
-            rel = jnp.abs(1.0 - CR_new / jnp.where(CR == 0.0, 1e-30, CR))
-            rel_m = jnp.abs(1.0 - m_new / jnp.where(mm == 0.0, 1e-30, mm))
-            err = jnp.maximum(jnp.max(rel), jnp.max(rel_m))
-            return CR_new, m_new, err, it + 1
+            return CR_new, m_new
 
-        CR, m_new, _, _ = jax.lax.while_loop(
-            fp_cond, fp,
-            (gCR, gm, jnp.float32(jnp.inf), jnp.int32(0)))
+        CR, m_new = jax.lax.fori_loop(jnp.int32(0), jnp.int32(maxiters),
+                                      fp, (gCR, gm))
 
         CR16 = jnp.concatenate(
             [CR, jnp.zeros((CR.shape[0], SUBL - N_CYTO), CR.dtype)], axis=1)
@@ -202,7 +197,7 @@ def solve_explicit_pallas(
     R: float = 10.0,
     dr: float = 0.2,
     tf: float = 5.0,
-    maxiters: int = 20,
+    maxiters: int = 4,
     block: int = 128,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:

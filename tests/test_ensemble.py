@@ -134,3 +134,15 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+def test_chunk_not_dividing_n():
+    """Chunked ensembles pad to the chunk size instead of asserting."""
+    batch = _small_batch(n=5)
+    a, oka = run_ensemble(base_system(), default_co(), batch,
+                          solver="stiff", extract=lambda s: s.PG1Stot[-1],
+                          rtol=1e-4, atol=1e-7, **FAST)
+    b, okb = run_ensemble(base_system(), default_co(), batch, chunk=2,
+                          solver="stiff", extract=lambda s: s.PG1Stot[-1],
+                          rtol=1e-4, atol=1e-7, **FAST)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
