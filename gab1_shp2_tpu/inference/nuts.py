@@ -226,7 +226,14 @@ def _nuts_step(logdensity: Callable, state: NUTSState, *,
             # start state of each completed subtree
             def check_level(turning, l):
                 complete = jnp.logical_and(l >= 1, (i1 % (2 ** l)) == 0)
-                t = is_turning(stack_q[l], stack_p[l], q, p)
+                # momenta are stored in global time orientation, but the
+                # stack holds generation-ordered endpoints: for a
+                # backward-built subtree (direction < 0) the current leaf
+                # is the time-*earlier* endpoint, so swap the arguments
+                # to keep (theta-, p-, theta+, p+) in time order
+                t = jnp.where(direction > 0,
+                              is_turning(stack_q[l], stack_p[l], q, p),
+                              is_turning(q, p, stack_q[l], stack_p[l]))
                 return jnp.logical_or(turning,
                                       jnp.logical_and(complete, t)), None
 

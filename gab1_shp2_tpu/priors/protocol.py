@@ -162,12 +162,10 @@ def calc_mode_spread(V) -> Tuple[float, float]:
     W = np.concatenate(W_all)
     wmed = weighted_median(D, W)
     mean_w = np.average(D, weights=W)
-    var_w = np.average((D - mean_w) ** 2, weights=W) * len(D) / (len(D) - 1)
-    # (matches Statistics.std(D, Weights(W)) with the default bias
-    # correction used by StatsBase for frequency-like weights)
-    S = math.sqrt(np.average((D - mean_w) ** 2,
-                             weights=W) * W.sum() / (W.sum() - 1)) \
-        if False else math.sqrt(np.average((D - mean_w) ** 2, weights=W))
+    # uncorrected weighted std: matches Julia's std(D, Weights(W)),
+    # which for generic Weights applies no bias correction
+    # (param_distribution_funcs.jl:253)
+    S = math.sqrt(np.average((D - mean_w) ** 2, weights=W))
     return math.exp(wmed), math.exp(S)
 
 

@@ -129,10 +129,6 @@ def main(argv=None):
             _predictive_checks(obs, samples, args, out)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _predictive_checks(obs, posterior_samples, args, out):
     """Prior and posterior predictive distributions of the observable
     (% SHP2-bound GAB1), mirroring the reference's predict() checks."""
@@ -164,3 +160,7 @@ def _predictive_checks(obs, posterior_samples, args, out):
               f"{EXPTL_PCT_SHP2_BOUND_GAB1[0]})")
     common.save_csv(f"{out}/predictive_checks.csv",
                     ["which"] + [f"q{q}" for q in QS], rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,10 +103,6 @@ def main(argv=None):
         _scales_analysis(ens, g.default_params(), out)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _scales_analysis(ens, base, out):
     """Ensemble time scales (run_base_model.jl:823-855) and
     order-of-magnitude delta = sqrt(D/k) length scales (:858-902)."""
@@ -141,3 +137,7 @@ def _scales_analysis(ens, base, out):
         print(f"{name}: median {q[1]:.2f} um [{q[0]:.2f}, {q[2]:.2f}]")
     common.save_csv(f"{out}/oom_length_scales.csv",
                     ["scale", "median_um", "lo68", "hi68"], rows)
+
+
+if __name__ == "__main__":
+    main()

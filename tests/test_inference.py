@@ -49,6 +49,26 @@ class TestNUTS:
         np.testing.assert_allclose(qs.mean(0), np.asarray(mu), atol=0.3)
         np.testing.assert_allclose(qs.std(0), np.asarray(sig), rtol=0.15)
 
+    def test_tree_depth_symmetric(self):
+        """Regression test for the direction-aware within-subtree U-turn
+        check: with the sign-inverted check, backward-built subtrees
+        terminate almost immediately (mean depth ~2.9 on a 1D standard
+        Gaussian at eps=0.05 instead of the ~5-6 a correct sampler
+        needs before the trajectory U-turns)."""
+        from gab1_shp2_tpu.inference.nuts import _nuts_step, init
+
+        logp = lambda q: -0.5 * jnp.sum(q**2)
+        state = init(logp, jnp.zeros(1), jax.random.PRNGKey(7),
+                     step_size=0.05)
+
+        def step(state, _):
+            state, info = _nuts_step(logp, state, max_depth=10)
+            return state, info.depth
+
+        _, depths = jax.lax.scan(step, state, None, length=300)
+        mean_depth = float(np.asarray(depths).mean())
+        assert mean_depth > 4.5, mean_depth
+
     def test_vmapped_chains(self):
         logp = lambda q: -0.5 * jnp.sum(q**2)
         keys = jax.random.split(jax.random.PRNGKey(3), 4)
