@@ -46,6 +46,7 @@ from gab1_shp2_tpu.models.system import (  # noqa: E402
     rect_system,
 )
 from gab1_shp2_tpu.ops.explicit import solve_explicit  # noqa: E402
+from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch  # noqa: E402
 from gab1_shp2_tpu.ops.trbdf2 import solve_stiff  # noqa: E402
 
 __version__ = "0.1.0"
@@ -62,4 +63,5 @@ __all__ = [
     "rect_system",
     "solve_explicit",
     "solve_stiff",
+    "solve_stiff_batch",
 ]

@@ -25,7 +25,7 @@ import numpy as np
 from gab1_shp2_tpu.models.params import Params, stability_dt
 from gab1_shp2_tpu.models.system import ReactionDiffusionSystem
 from gab1_shp2_tpu.ops.explicit import solve_explicit
-from gab1_shp2_tpu.ops.trbdf2 import solve_stiff
+from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch
 
 
 def _identity(sol):
@@ -78,17 +78,24 @@ def run_ensemble(
     N = pb.k.shape[0]
 
     if solver == "stiff":
-        def one(p: Params):
-            sol, stats = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf,
-                                     Nts=Nts, rtol=rtol, atol=atol,
-                                     t_prechase=t_prechase, method=method,
-                                     linsolve_dtype=linsolve_dtype,
-                                     max_steps=max_steps,
-                                     return_stats=True)
-            out = extract(sol)
+        # batch-aware lane-minor integrator (ops/batch_stiff.py): one
+        # device program per chunk instead of a vmapped per-lane solve
+        def vone(p: Params):
+            sol, stats = solve_stiff_batch(
+                system, Co, p, R=R, dr=dr, tf=tf, Nts=Nts, rtol=rtol,
+                atol=atol, t_prechase=t_prechase, method=method,
+                linsolve_dtype=linsolve_dtype, max_steps=max_steps,
+                return_stats=True)
+            B = p.k.shape[0]
+            # restore the vmapped-Solution contract (batched t and r)
+            # so per-lane extract functions see the same shapes as before
+            sol = sol._replace(
+                t=jnp.broadcast_to(sol.t, (B,) + sol.t.shape),
+                r=jnp.broadcast_to(sol.r, (B,) + sol.r.shape))
+            out = jax.vmap(extract)(sol)
             ok = jnp.logical_and(
                 ~stats.failed,
-                jnp.isfinite(sol.C[-1]).all())
+                jnp.isfinite(sol.C[:, -1]).all(axis=(-2, -1)))
             return out, ok
     elif solver == "explicit":
         # shared conservative step: per-member stability dt with a static
@@ -111,10 +118,9 @@ def run_ensemble(
 
     if solver == "explicit":
         batched_args = (pb, dts, nt_active)
+        vone = jax.vmap(one)
     else:
         batched_args = pb
-
-    vone = jax.vmap(one)
     if chunk is None or chunk >= N:
         out, ok = jax.jit(vone)(batched_args)
     else:

@@ -27,7 +27,7 @@ from gab1_shp2_tpu.gsa.efast import (
     log_bounds_around,
 )
 from gab1_shp2_tpu.gsa.sobol import SobolDesign, sobol_design, sobol_indices
-from gab1_shp2_tpu.ops.trbdf2 import solve_stiff
+from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch
 
 GSA_VAR_NAMES = ("r_1/2, SFK", "r_1/10, SFK", "r_1/2, pG1S2",
                  "r_1/10, pG1S2", "[pG1S2]_cent:surf", "[pG1S2]_average")
@@ -50,18 +50,18 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
     if dtype is not None:
         Co = jnp.asarray(Co).astype(dtype)
 
-    def one(packed):
-        p = Params.unpack(packed.astype(Co.dtype))
-        sol, stats = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf, Nts=2,
-                                 rtol=rtol, atol=atol, method=method,
-                                 max_steps=max_steps,
-                                 linsolve_dtype=linsolve_dtype,
-                                 return_stats=True)
+    def batch(packed):
+        pb = Params.unpack(packed.astype(Co.dtype))
+        sol, stats = solve_stiff_batch(system, Co, pb, R=R, dr=dr, tf=tf,
+                                       Nts=2, rtol=rtol, atol=atol,
+                                       method=method, max_steps=max_steps,
+                                       linsolve_dtype=linsolve_dtype,
+                                       return_stats=True)
         out = gsa_outputs(sol, R)
-        ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all())
-        return jnp.where(ok, out, jnp.zeros_like(out))
+        ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all(axis=-1))
+        return jnp.where(ok[:, None], out, jnp.zeros_like(out))
 
-    return _chunked_batch(one, chunk)
+    return _chunked_batch(batch, chunk)
 
 
 def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
@@ -75,21 +75,28 @@ def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
     if dtype is not None:
         params = Params(D=params.D.astype(dtype), k=params.k.astype(dtype))
 
-    def one(co):
-        sol, stats = solve_stiff(system, co.astype(params.D.dtype), params,
-                                 R=R, dr=dr, tf=tf,
-                                 Nts=2, rtol=rtol, atol=atol, method=method,
-                                 max_steps=max_steps,
-                                 return_stats=True)
+    def batch(co):
+        B = co.shape[0]
+        pb = Params(D=jnp.broadcast_to(params.D, (B,) + params.D.shape),
+                    k=jnp.broadcast_to(params.k, (B,) + params.k.shape))
+        sol, stats = solve_stiff_batch(system, co.astype(params.D.dtype),
+                                       pb, R=R, dr=dr, tf=tf,
+                                       Nts=2, rtol=rtol, atol=atol,
+                                       method=method, max_steps=max_steps,
+                                       return_stats=True)
         out = gsa_outputs(sol, R)
-        ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all())
-        return jnp.where(ok, out, jnp.zeros_like(out))
+        ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all(axis=-1))
+        return jnp.where(ok[:, None], out, jnp.zeros_like(out))
 
-    return _chunked_batch(one, chunk)
+    return _chunked_batch(batch, chunk)
 
 
-def _chunked_batch(one, chunk: int):
-    vone = jax.jit(jax.vmap(one))
+def _chunked_batch(batch_fn, chunk: int):
+    """Chunked dispatch of an already-batched evaluator.
+
+    ``batch_fn`` maps a (chunk, d) array to (chunk, 6) outputs in one
+    device program (the lane-minor integrator batches internally — no
+    vmap wrapper needed)."""
 
     def evaluate(X: np.ndarray) -> np.ndarray:
         Xh = np.asarray(X)
@@ -110,7 +117,7 @@ def _chunked_batch(one, chunk: int):
             pad = chunk - blk.shape[0]
             if pad:
                 blk = jnp.concatenate([blk, blk[-1:].repeat(pad, 0)], axis=0)
-            o = vone(blk)
+            o = batch_fn(blk)
             outs.append(np.asarray(o[: chunk - pad if pad else chunk]))
         sorted_out = np.concatenate(outs, axis=0)
         out = np.empty_like(sorted_out)

@@ -1,0 +1,565 @@
+"""Batch-aware stiff integrator with lane-minor block linear algebra.
+
+The round-1 production path (``ops/trbdf2.py`` under ``jax.vmap``) is
+op-latency bound: with the ensemble axis *leading*, every (10, 10)
+Newton block lands in its own (8, 128) TPU vector tile — >90% of each
+tile is padding, so the VPU does ~12x the work the math needs, and the
+per-step wall-clock at N=256 was ~30 ms (CLAUDE.md round-1 analysis).
+
+This module is the same integrator re-laid-out for the hardware: the
+ensemble (lane) axis is the *minor* dimension of every array —
+
+  * state ``y``: (NB, 10, B)        — B lanes fill the 128-wide tiles,
+  * Jacobian bands: (NB, 10, 10, B),
+  * block matmuls: unrolled j-contractions of fused multiply-adds on
+    (NB, 10, 10, B) arrays — tiny matrices never touch the MXU (they
+    would be all padding there); the VPU sees full tiles instead,
+  * Gauss-Jordan inverses and cyclic reduction identical in structure
+    to ``ops/smalllu.py`` / ``ops/cyclic_reduction.py`` but with the
+    trailing lane axis.
+
+Per-lane adaptive control (step size, acceptance, failure flags) is
+explicit (B,) vectors + ``where`` masks — semantically identical to the
+vmapped integrator (same trajectories, same controller arithmetic), so
+the two paths cross-validate bit-for-bit up to reduction order.
+
+Reference parity: this is still the QNDF/MoL replacement
+(``define_PDESystem_base.jl:268-288``); see ``ops/trbdf2.py`` for the
+method-level citations.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gab1_shp2_tpu.models.params import Params
+from gab1_shp2_tpu.models.species import CYTO, N_CYTO, N_MEMB
+from gab1_shp2_tpu.models.system import Geometry, ReactionDiffusionSystem
+from gab1_shp2_tpu.ops import rhs as rhs_mod
+from gab1_shp2_tpu.ops.jacobian import BLK, _color_seeds
+from gab1_shp2_tpu.ops.rhs import initial_state, kdict
+from gab1_shp2_tpu.ops.solution import Solution
+from gab1_shp2_tpu.ops.trbdf2 import (
+    A,
+    GAMMA,
+    StiffStats,
+    _B1,
+    _B2,
+    _B3,
+    _C_YG,
+    _C_YN,
+    _ROS_D,
+    _ROS_E32,
+)
+
+# ---------------------------------------------------------------------------
+# lane-minor small linear algebra
+# ---------------------------------------------------------------------------
+
+
+def mm_lanes(Am: jax.Array, Bm: jax.Array) -> jax.Array:
+    """Block matmul ``(..., i, j, B) @ (..., j, k, B) -> (..., i, k, B)``.
+
+    Unrolled over the tiny contraction axis (j <= 10): each term is a
+    fused multiply-add on full (…, i, k, B) tiles.  ``dot_general``
+    would pad these 10-wide operands onto the MXU; the VPU form is
+    ~12x less wasted work.
+    """
+    j_dim = Am.shape[-2]
+    acc = Am[..., :, 0, None, :] * Bm[..., None, 0, :, :]
+    for j in range(1, j_dim):
+        acc = acc + Am[..., :, j, None, :] * Bm[..., None, j, :, :]
+    return acc
+
+
+def mv_lanes(Am: jax.Array, x: jax.Array) -> jax.Array:
+    """Block matvec ``(..., i, j, B) @ (..., j, B) -> (..., i, B)``."""
+    return jnp.sum(Am * x[..., None, :, :], axis=-2)
+
+
+def gj_inv_lanes(Am: jax.Array) -> jax.Array:
+    """Gauss-Jordan inverse of (..., n, n, B) stacks, lane-minor.
+
+    Pivot-free with clamped pivots, same rationale as
+    ``ops/smalllu.py``: the matrices are diagonally dominant Newton/W
+    matrices, and a garbage solve surfaces as a rejected step.
+    """
+    n = Am.shape[-3]
+    eye = jnp.eye(n, dtype=Am.dtype)[:, :, None]
+    M = jnp.concatenate(
+        [Am, jnp.broadcast_to(eye, Am.shape)], axis=-2)  # (..., n, 2n, B)
+    rows = jnp.arange(n)
+    tiny = jnp.asarray(1e-30 if M.dtype == jnp.float64 else 1e-20, M.dtype)
+    for k in range(n):
+        piv = M[..., k:k + 1, k:k + 1, :]
+        piv = jnp.where(jnp.abs(piv) < tiny,
+                        jnp.where(piv < 0, -tiny, tiny), piv)
+        row_k = M[..., k:k + 1, :, :] / piv
+        factors = M[..., :, k:k + 1, :]
+        is_k = (rows == k)[:, None, None]
+        M = jnp.where(is_k, row_k, M - factors * row_k)
+    return M[..., :, n:, :]
+
+
+# ---------------------------------------------------------------------------
+# lane-minor block cyclic reduction (see ops/cyclic_reduction.py)
+# ---------------------------------------------------------------------------
+
+
+class CRLanesLevel(NamedTuple):
+    Dinv_odd: jax.Array
+    L_odd: jax.Array
+    U_odd: jax.Array
+    LDinv: jax.Array
+    UDinv: jax.Array
+    n_blocks: int
+
+
+class CRLanesFactors(NamedTuple):
+    levels: tuple
+    root_inv: jax.Array
+
+
+def cr_factor_lanes(L: jax.Array, D: jax.Array, U: jax.Array
+                    ) -> CRLanesFactors:
+    """Factor block-tridiagonal stacks of shape (NB, n, n, B)."""
+    nb0, n = D.shape[0], D.shape[1]
+    B = D.shape[-1]
+    zero_blk = jnp.zeros((1, n, n, B), D.dtype)
+    L = jnp.concatenate([zero_blk, L[1:]], axis=0)
+    U = jnp.concatenate([U[:-1], zero_blk], axis=0)
+
+    m = 1
+    while m < nb0:
+        m *= 2
+    pad = m - nb0
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=D.dtype)[:, :, None],
+                               (pad, n, n, B))
+        zpad = jnp.zeros((pad, n, n, B), D.dtype)
+        L = jnp.concatenate([L, zpad], axis=0)
+        D = jnp.concatenate([D, eye], axis=0)
+        U = jnp.concatenate([U, zpad], axis=0)
+
+    nb = m
+    levels = []
+    while nb > 1:
+        De, Do = D[0::2], D[1::2]
+        Le, Lo = L[0::2], L[1::2]
+        Ue, Uo = U[0::2], U[1::2]
+        Dinv_odd = gj_inv_lanes(Do)
+
+        zero1 = jnp.zeros((1, n, n, B), D.dtype)
+        Dinv_left = jnp.concatenate([zero1, Dinv_odd[:-1]], axis=0)
+        U_left = jnp.concatenate([zero1, Uo[:-1]], axis=0)
+        L_left = jnp.concatenate([zero1, Lo[:-1]], axis=0)
+
+        LDinv = mm_lanes(Le, Dinv_left)
+        UDinv = mm_lanes(Ue, Dinv_odd)
+
+        D_new = De - mm_lanes(LDinv, U_left) - mm_lanes(UDinv, Lo)
+        L_new = -mm_lanes(LDinv, L_left)
+        U_new = -mm_lanes(UDinv, Uo)
+
+        levels.append(CRLanesLevel(Dinv_odd=Dinv_odd, L_odd=Lo, U_odd=Uo,
+                                   LDinv=LDinv, UDinv=UDinv, n_blocks=nb))
+        L, D, U = L_new, D_new, U_new
+        nb //= 2
+
+    return CRLanesFactors(levels=tuple(levels), root_inv=gj_inv_lanes(D))
+
+
+def cr_solve_lanes(fac: CRLanesFactors, b: jax.Array) -> jax.Array:
+    """Solve for RHS ``b`` of shape (NB, n, B)."""
+    nb0, n, B = b.shape
+    m = fac.levels[0].n_blocks if fac.levels else 1
+    if m > nb0:
+        b = jnp.concatenate(
+            [b, jnp.zeros((m - nb0, n, B), b.dtype)], axis=0)
+
+    bs = [b]
+    zb = jnp.zeros((1, n, B), b.dtype)
+    for lv in fac.levels:
+        be, bo = b[0::2], b[1::2]
+        b = be - mv_lanes(lv.LDinv, jnp.concatenate([zb, bo[:-1]], axis=0)) \
+            - mv_lanes(lv.UDinv, bo)
+        bs.append(b)
+
+    x = mv_lanes(fac.root_inv, b)
+
+    for lv, b_lvl in zip(reversed(fac.levels), reversed(bs[:-1])):
+        bo = b_lvl[1::2]
+        x_even = x
+        zx = jnp.zeros((1, n, B), b.dtype)
+        x_right = jnp.concatenate([x_even[1:], zx], axis=0)
+        rhs_o = bo - mv_lanes(lv.L_odd, x_even) - mv_lanes(lv.U_odd, x_right)
+        x_odd = mv_lanes(lv.Dinv_odd, rhs_o)
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(lv.n_blocks, n, B)
+
+    return x[:nb0]
+
+
+# ---------------------------------------------------------------------------
+# lane-minor MoL right-hand side + Jacobian
+# ---------------------------------------------------------------------------
+
+
+def make_mol_rhs_lanes(system: ReactionDiffusionSystem, R: float, dr: float):
+    """Lane-minor MoL RHS: ``f(y (NB, 10, B), params (B,)-batched)``.
+
+    Reuses the declarative lowering of ``ops/rhs.py`` — the bulk rate
+    tables broadcast over any trailing dims, and the small
+    species-last helpers (``bc_closure``, ``memb_rates``) are fed (B, s)
+    transposes of the tiny boundary arrays only.
+    """
+    Nr = int(round(R / dr))
+    r = jnp.arange(Nr + 1) * dr
+
+    def rhs(y: jax.Array, params: Params) -> jax.Array:
+        B = y.shape[-1]
+        k = kdict(params.k)                      # (B,) scalars
+        d_eff = rhs_mod.effective_diffusivities(system, params)  # (B, 10)
+        C_int = jnp.moveaxis(y[:-1], 0, 1)       # (10, M, B)
+        m_t = y[-1, :N_MEMB, :].T                # (B, 8)
+        C_near_t = C_int[:, -1, :].T             # (B, 10)
+        C_R = rhs_mod.bc_closure(system, C_near_t, m_t, k, d_eff, dr)
+        C_full = jnp.concatenate(
+            [C_int[:, :1], C_int, C_R.T[:, None]], axis=1)  # (10, M+2, B)
+
+        um, uc, up = C_full[:, :-2], C_full[:, 1:-1], C_full[:, 2:]
+        lap = (up - 2.0 * uc + um) / dr**2
+        if system.geometry is Geometry.SPHERICAL:
+            lap = lap + (up - um) / (
+                r[1:-1].astype(y.dtype)[None, :, None] * dr)
+
+        dC = d_eff.T[:, None, :] * lap + rhs_mod.bulk_rates(system, C_int, k)
+        dm = rhs_mod.memb_rates(system, m_t, C_R, k)      # (B, 8)
+        dm_pad = jnp.concatenate(
+            [dm.T, jnp.zeros((BLK - N_MEMB, B), y.dtype)], axis=0)
+        return jnp.concatenate(
+            [jnp.moveaxis(dC, 1, 0), dm_pad[None]], axis=0)
+
+    return rhs, r
+
+
+def block_jacobian_lanes(rhs_lanes, y: jax.Array):
+    """Exact block-tridiagonal Jacobian of the lane-minor RHS.
+
+    Same 38-color JVP scheme as ``ops/jacobian.py`` (see there for the
+    coloring proof); tangents broadcast over lanes, assembly is three
+    einsums.  Returns (NB, 10, 10, B) bands.
+    """
+    NB, _, B = y.shape
+    seeds = jnp.asarray(_color_seeds(NB, y.dtype))   # (38, NB, 10)
+
+    def jvp_one(v):
+        vt = jnp.broadcast_to(v[..., None], y.shape)
+        return jax.jvp(rhs_lanes, (y,), (vt,))[1]
+
+    T = jax.vmap(jvp_one)(seeds)                     # (38, NB, 10, B)
+
+    Tn = T[: 3 * N_CYTO].reshape(N_CYTO, 3, NB, BLK, B)
+    jidx = np.arange(NB)
+    cidx = np.arange(3)
+    mL = jnp.asarray((jidx[None, :] - 1) % 3 == cidx[:, None], y.dtype)
+    mD = jnp.asarray(jidx[None, :] % 3 == cidx[:, None], y.dtype)
+    mU = jnp.asarray((jidx[None, :] + 1) % 3 == cidx[:, None], y.dtype)
+    lower = jnp.einsum("scjrb,cj->jrsb", Tn, mL)
+    diag = jnp.einsum("scjrb,cj->jrsb", Tn, mD)
+    upper = jnp.einsum("scjrb,cj->jrsb", Tn, mU)
+
+    Tm = T[3 * N_CYTO:]                              # (8, NB, 10, B)
+    pad = jnp.zeros((BLK - N_MEMB, BLK, B), y.dtype)
+    up_edge = jnp.moveaxis(jnp.concatenate([Tm[:, NB - 2], pad]), 0, 1)
+    di_edge = jnp.moveaxis(jnp.concatenate([Tm[:, NB - 1], pad]), 0, 1)
+    col_memb = jnp.asarray(np.arange(BLK) < N_MEMB, y.dtype)[:, None]
+    row_m2 = (jidx == NB - 2).astype(y.dtype)[:, None, None, None]
+    row_m1 = (jidx == NB - 1).astype(y.dtype)[:, None, None, None]
+    upper = upper * (1.0 - row_m2 * col_memb) + row_m2 * up_edge
+    diag = diag * (1.0 - row_m1 * col_memb) + row_m1 * di_edge
+    return lower, diag, upper
+
+
+# ---------------------------------------------------------------------------
+# the batched adaptive stepper
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps",
+                                   "method", "linsolve_dtype"))
+def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
+                      max_steps, h0, method, linsolve_dtype):
+    dtype = Co.dtype
+    B = params.k.shape[0]
+    Nr = int(round(R / dr))
+    M = Nr - 1
+    NB = M + 1
+    f_lanes, r = make_mol_rhs_lanes(system, R, dr)
+    tf_total = legs[-1][1]
+    dt_save = tf_total / Nts
+    eps = 1e-10 * tf_total
+
+    if Co.ndim == 2:
+        # per-lane initial concentrations (initial_state semantics,
+        # basepdesolver.jl:94-97,137-141, lane-minor)
+        from gab1_shp2_tpu.models.species import MEMB
+
+        CoT = Co.T  # (5, B)
+        C0 = jnp.zeros((N_CYTO, M, B), dtype)
+        C0 = C0.at[CYTO["iSFK"]].set(CoT[0][None, :])
+        C0 = C0.at[CYTO["GRB2"]].set(CoT[1][None, :])
+        C0 = C0.at[CYTO["GAB1"]].set(CoT[2][None, :])
+        C0 = C0.at[CYTO["SHP2"]].set(CoT[3][None, :])
+        m0v = jnp.zeros((N_MEMB, B), dtype).at[MEMB["mE"]].set(CoT[4])
+        CoEGFR = Co[:, 4]
+    else:
+        y0s = initial_state(Co, Nr)
+        C0 = jnp.broadcast_to(y0s.C_int[..., None], (N_CYTO, M, B))
+        m0v = jnp.broadcast_to(y0s.m[..., None], (N_MEMB, B))
+        CoEGFR = jnp.broadcast_to(Co[4], (B,))
+    pad = jnp.zeros((BLK - N_MEMB, B), dtype)
+    y0 = jnp.concatenate(
+        [jnp.moveaxis(C0, 1, 0), jnp.concatenate([m0v, pad])[None]], axis=0)
+
+    ls_dtype = jnp.dtype(linsolve_dtype) if linsolve_dtype else dtype
+    eye_l = jnp.eye(BLK, dtype=ls_dtype)[None, :, :, None]
+
+    def factor(L, D, U):
+        return cr_factor_lanes(L.astype(ls_dtype), D.astype(ls_dtype),
+                               U.astype(ls_dtype))
+
+    def solve(fac, b):
+        return cr_solve_lanes(fac, b.astype(ls_dtype)).astype(dtype)
+
+    ntol = 0.03
+    newton_iters = 6
+
+    def snapshot(y, p: Params):
+        """(10, Nr+1, B) full profile + (8, B) membrane state."""
+        k = kdict(p.k)
+        d_eff = rhs_mod.effective_diffusivities(system, p)
+        C_int = jnp.moveaxis(y[:-1], 0, 1)
+        m_t = y[-1, :N_MEMB, :].T
+        C_R = rhs_mod.bc_closure(system, C_int[:, -1, :].T, m_t, k, d_eff,
+                                 dr)
+        C_full = jnp.concatenate(
+            [C_int[:, :1], C_int, C_R.T[:, None]], axis=1)
+        return C_full, y[-1, :N_MEMB, :]
+
+    out_C = jnp.full((Nts + 1, N_CYTO, Nr + 1, B), jnp.nan, dtype)
+    out_m = jnp.full((Nts + 1, N_MEMB, B), jnp.nan, dtype)
+    C0f, m0f = snapshot(y0, legs[0][2])
+    out_C = out_C.at[0].set(C0f)
+    out_m = out_m.at[0].set(m0f)
+    slot_ids = jnp.arange(Nts + 1, dtype=jnp.int32)
+
+    def scaled_norm(v, y_a, y_b):
+        """Per-lane weighted RMS norm: (NB, 10, B) -> (B,)."""
+        w = atol + rtol * jnp.maximum(jnp.abs(y_a), jnp.abs(y_b))
+        return jnp.sqrt(jnp.mean((v / w) ** 2, axis=(0, 1)))
+
+    def run_leg(carry_in, t0, t1, p: Params):
+        f = partial(f_lanes, params=p)
+
+        def newton(fac, y_init, rhs_const, h):
+            """Per-lane Newton iteration; h is (B,)."""
+            def nbody(c):
+                y, dn, it = c
+                Gv = y - A * h * f(y) - rhs_const
+                dy = solve(fac, -Gv)
+                ynew = y + dy
+                dn_new = scaled_norm(dy, ynew, ynew)
+                # freeze converged lanes
+                upd = dn > ntol
+                y = jnp.where(upd, ynew, y)
+                dn = jnp.where(upd, dn_new, dn)
+                return y, dn, it + 1
+
+            def ncond(c):
+                _, dn, it = c
+                return jnp.logical_and(it < newton_iters,
+                                       jnp.any(dn > ntol))
+
+            y, dn, _ = jax.lax.while_loop(
+                ncond, nbody,
+                (y_init, jnp.full((B,), jnp.inf, dtype),
+                 jnp.array(0, jnp.int32)))
+            return y, dn <= ntol
+
+        def body(c):
+            t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = c
+            active = t < t1 - eps
+            # step size used this iteration: truncated to the leg end for
+            # active lanes, a harmless dummy for finished lanes (their
+            # carried h is preserved below — it seeds the next leg,
+            # matching the per-lane vmapped semantics)
+            h = jnp.where(active, jnp.minimum(h_carry, t1 - t),
+                          jnp.asarray(1.0, dtype))
+
+            f_n = f(y)
+            Lj, Dj, Uj = block_jacobian_lanes(f, y)
+            hb = h[None, None, None, :].astype(ls_dtype)
+            hd = h[None, None, :]
+
+            if method == "trbdf2":
+                fac = factor(-A * hb * Lj,
+                             eye_l - A * hb * Dj.astype(ls_dtype),
+                             -A * hb * Uj)
+                rc1 = y + A * hd * f_n
+                y_g, ok1 = newton(fac, y + GAMMA * hd * f_n, rc1, hd)
+                f_g = (y_g - rc1) / (A * hd)
+                rc2 = _C_YG * y_g - _C_YN * y
+                y_1, ok2 = newton(fac, y_g, rc2, hd)
+                f_1 = (y_1 - rc2) / (A * hd)
+                y_hat = y + hd * (_B1 * f_n + _B2 * f_g + _B3 * f_1)
+                est = solve(fac, y_1 - y_hat)
+                errn = scaled_norm(est, y, y_1)
+                ok = jnp.logical_and(ok1, ok2)
+            elif method == "rosenbrock23":
+                d = _ROS_D
+                fac = factor(-d * hb * Lj,
+                             eye_l - d * hb * Dj.astype(ls_dtype),
+                             -d * hb * Uj)
+                k1 = solve(fac, f_n)
+                f_half = f(y + 0.5 * hd * k1)
+                k2 = solve(fac, f_half - k1) + k1
+                y_1 = y + hd * k2
+                f_1 = f(y_1)
+                k3 = solve(fac, f_1 - _ROS_E32 * (k2 - f_half)
+                           - 2.0 * (k1 - f_n))
+                est = (hd / 6.0) * (k1 - 2.0 * k2 + k3)
+                errn = scaled_norm(est, y, y_1)
+                ok = jnp.isfinite(errn)
+            else:
+                raise ValueError(f"unknown method {method!r}")
+
+            accept = jnp.logical_and(jnp.logical_and(ok, errn <= 1.0),
+                                     active)
+
+            t_new = jnp.where(accept, t + h, t)
+            y_new = jnp.where(accept[None, None, :], y_1, y)
+
+            fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
+            fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** (-1.0 / 3.0),
+                                             0.1, 0.5), 0.3)
+            h_prop = h * jnp.where(accept, fac_ok, fac_rej)
+            h_prop = jnp.where(jnp.isfinite(h_prop), h_prop, h * 0.3)
+            h_new = jnp.where(active, h_prop, h_carry)
+            failed = jnp.logical_or(
+                failed, jnp.logical_and(active, h_new < 1e-13 * tf_total))
+
+            # dense-output snapshots: per-lane save slots via masked
+            # one-hot writes (scatter-free; cheap at the production
+            # Nts=2, linear in Nts otherwise)
+            def scond(sc):
+                nts_i, _, _ = sc
+                return jnp.any(jnp.logical_and(
+                    jnp.logical_and(accept, nts_i <= Nts),
+                    nts_i * dt_save <= t_new + eps))
+
+            def sbody(sc):
+                nts_i, oC, om = sc
+                write = jnp.logical_and(
+                    jnp.logical_and(accept, nts_i <= Nts),
+                    nts_i * dt_save <= t_new + eps)
+                ts = nts_i.astype(dtype) * dt_save
+                th = jnp.where(h > 0, (ts - t) / h, 0.0)
+                h00 = 2 * th**3 - 3 * th**2 + 1
+                h10 = th**3 - 2 * th**2 + th
+                h01 = -2 * th**3 + 3 * th**2
+                h11 = th**3 - th**2
+                y_s = (h00 * y + (h10 * h) * f_n + h01 * y_1
+                       + (h11 * h) * f_1)
+                Cs, ms = snapshot(y_s, p)
+                onehot = slot_ids[:, None] == nts_i[None, :]  # (Nts+1, B)
+                wmask = jnp.logical_and(onehot, write[None, :])
+                oC = jnp.where(wmask[:, None, None, :], Cs[None], oC)
+                om = jnp.where(wmask[:, None, :], ms[None], om)
+                return nts_i + write.astype(jnp.int32), oC, om
+
+            nts, out_C, out_m = jax.lax.while_loop(
+                scond, sbody, (nts, out_C, out_m))
+
+            nacc = nacc + accept.astype(jnp.int32)
+            nrej = nrej + jnp.logical_and(active, ~accept).astype(jnp.int32)
+            return (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
+                    failed)
+
+        def cond(c):
+            t, _, _, _, _, _, nacc, nrej, failed = c
+            lane_active = jnp.logical_and(
+                t < t1 - eps,
+                jnp.logical_and(~failed, nacc + nrej < max_steps))
+            return jnp.any(lane_active)
+
+        t, h, y, nts, out_C, out_m, nacc, nrej, failed = carry_in
+        t = jnp.maximum(t, t0)
+        out = jax.lax.while_loop(cond, body, (t, h, y, nts, out_C, out_m,
+                                              nacc, nrej, failed))
+        return out
+
+    carry = (jnp.zeros((B,), dtype), jnp.full((B,), h0, dtype), y0,
+             jnp.ones((B,), jnp.int32), out_C, out_m,
+             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), bool))
+    for (t0, t1, p) in legs:
+        carry = run_leg(carry, t0, t1, p)
+    t, h, y, nts, out_C, out_m, nacc, nrej, failed = carry
+    failed = jnp.logical_or(failed, nts <= Nts)
+
+    t_save = jnp.linspace(0.0, tf_total, Nts + 1).astype(dtype)
+    sol = Solution(C=jnp.moveaxis(out_C, -1, 0), m=jnp.moveaxis(out_m, -1, 0),
+                   t=t_save, r=r.astype(dtype), CoEGFR=CoEGFR)
+    stats = StiffStats(n_accepted=nacc, n_rejected=nrej, failed=failed)
+    return sol, stats
+
+
+def solve_stiff_batch(
+    system: ReactionDiffusionSystem,
+    Co: jax.Array,
+    params: Params,
+    *,
+    R: float = 10.0,
+    dr: float = 0.1,
+    tf: float = 5.0,
+    Nts: int = 100,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    max_steps: int = 20_000,
+    h0: float = 1e-5,
+    t_prechase: Optional[float] = None,
+    return_stats: bool = False,
+    method: str = "trbdf2",
+    linsolve_dtype=None,
+):
+    """Batched stiff MoL solve over a parameter ensemble.
+
+    Drop-in throughput replacement for ``vmap(solve_stiff)``: ``params``
+    carries a leading batch axis (B,), ``Co`` is (5,) shared or (B, 5)
+    per-lane, and the returned :class:`Solution` / :class:`StiffStats`
+    have a leading batch axis.  Same adaptive trajectories as the
+    vmapped path — the difference is the physical layout (lanes minor).
+    """
+    Co = jnp.asarray(Co)
+    params = Params(D=params.D.astype(Co.dtype), k=params.k.astype(Co.dtype))
+    if params.k.ndim != 2:
+        raise ValueError("solve_stiff_batch needs batched params (B, ...)")
+    if t_prechase is None:
+        legs = ((0.0, float(tf), params),)
+    else:
+        p2 = params.replace(kp=0.0)
+        legs = ((0.0, float(t_prechase), params),
+                (float(t_prechase), float(tf), p2))
+    ls = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
+    sol, stats = _solve_batch_impl(system, Co, params, legs, float(R),
+                                   float(dr), int(Nts), rtol, atol,
+                                   int(max_steps), float(h0), method, ls)
+    if return_stats:
+        return sol, stats
+    return sol

@@ -76,26 +76,38 @@ def block_jacobian(rhs_blocks: Callable[[jax.Array], jax.Array],
 
     T = jax.vmap(jvp_one)(seeds)  # (38, NB, 10)
 
-    lower = jnp.zeros((NB, BLK, BLK), y_blocks.dtype)
-    diag = jnp.zeros((NB, BLK, BLK), y_blocks.dtype)
-    upper = jnp.zeros((NB, BLK, BLK), y_blocks.dtype)
-
+    # node colors: T[s*3+c] holds the response to perturbing all nodes
+    # j == c (mod 3) in species s.  Because same-color nodes are >= 3
+    # apart, the response at block j attributes uniquely: to the lower
+    # coupling if (j-1) % 3 == c, diagonal if j % 3 == c, upper if
+    # (j+1) % 3 == c.  One einsum per band replaces the 90 scatter-adds
+    # of the per-(s, c) assembly loop (those dominated the per-step op
+    # count under vmap).
+    Tn = T[: 3 * N_CYTO].reshape(N_CYTO, 3, NB, BLK)
     jidx = np.arange(NB)
-    for s in range(N_CYTO):
-        for c in range(3):
-            t = T[s * 3 + c]  # (NB, 10)
-            mL = jnp.asarray(((jidx - 1) % 3 == c)[:, None])
-            mD = jnp.asarray((jidx % 3 == c)[:, None])
-            mU = jnp.asarray(((jidx + 1) % 3 == c)[:, None])
-            lower = lower.at[:, :, s].add(jnp.where(mL, t, 0.0))
-            diag = diag.at[:, :, s].add(jnp.where(mD, t, 0.0))
-            upper = upper.at[:, :, s].add(jnp.where(mU, t, 0.0))
+    cidx = np.arange(3)
+    mL = jnp.asarray((jidx[None, :] - 1) % 3 == cidx[:, None],
+                     y_blocks.dtype)  # (3, NB)
+    mD = jnp.asarray(jidx[None, :] % 3 == cidx[:, None], y_blocks.dtype)
+    mU = jnp.asarray((jidx[None, :] + 1) % 3 == cidx[:, None],
+                     y_blocks.dtype)
+    lower = jnp.einsum("scjr,cj->jrs", Tn, mL)
+    diag = jnp.einsum("scjr,cj->jrs", Tn, mD)
+    upper = jnp.einsum("scjr,cj->jrs", Tn, mU)
 
-    for ms in range(N_MEMB):
-        t = T[3 * N_CYTO + ms]
-        # membrane perturbations reach the last interior node (upper
-        # coupling of block NB-2) and the membrane block itself.
-        upper = upper.at[NB - 2, :, ms].set(t[NB - 2])
-        diag = diag.at[NB - 1, :, ms].set(t[NB - 1])
+    # membrane perturbations reach the last interior node (upper
+    # coupling of block NB-2) and the membrane block itself.  The node
+    # einsum wrote only zeros into these slots (no same-color adjacency
+    # at the membrane edge), so a masked set preserves the semantics of
+    # the original per-seed .set calls.
+    Tm = T[3 * N_CYTO:]  # (8, NB, 10)
+    pad = jnp.zeros((BLK - N_MEMB, BLK), y_blocks.dtype)
+    up_edge = jnp.concatenate([Tm[:, NB - 2, :], pad]).T  # (10, 10)
+    di_edge = jnp.concatenate([Tm[:, NB - 1, :], pad]).T
+    col_memb = jnp.asarray(np.arange(BLK) < N_MEMB, y_blocks.dtype)
+    row_sel = (jidx == NB - 2).astype(y_blocks.dtype)[:, None, None]
+    upper = upper * (1.0 - row_sel * col_memb) + row_sel * up_edge
+    row_sel = (jidx == NB - 1).astype(y_blocks.dtype)[:, None, None]
+    diag = diag * (1.0 - row_sel * col_memb) + row_sel * di_edge
 
     return lower, diag, upper

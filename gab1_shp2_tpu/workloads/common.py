@@ -12,8 +12,16 @@ import argparse
 import os
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: TPU compiles tunnel to a remote server and
+# take minutes cold; warm-cache recompiles are seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.dirname(os.path.abspath(__file__)))),
+                      ".jax_cache"))
 
 from gab1_shp2_tpu.ensemble.engine import masked_quantiles, run_ensemble
 from gab1_shp2_tpu.models.params import load_ensemble_csv

@@ -26,7 +26,8 @@ from gab1_shp2_tpu.workloads import common
 
 def main(argv=None):
     ap = common.default_argparser(__doc__)
-    ap.add_argument("--target", choices=("dk", "dk_membsfk", "concs"),
+    ap.add_argument("--target",
+                    choices=("dk", "dk_membsfk", "concs", "concs_membsfk"),
                     default="dk")
     ap.add_argument("--samples", type=int, default=1000,
                     help="eFAST samples per parameter (reference: 1000)")
@@ -48,12 +49,12 @@ def main(argv=None):
     # default: full-f64 rosenbrock23 — the x1000-bounds corners need
     # accurate stage solves (mixed/f32 fails on most corner samples)
 
-    system = (g.memb_sfk_system() if args.target == "dk_membsfk"
+    system = (g.memb_sfk_system() if args.target.endswith("membsfk")
               else g.base_system())
     Co = g.default_co()
     params = g.default_params()
 
-    if args.target == "concs":
+    if args.target.startswith("concs"):
         # GSA over initial concentrations (GSA_concs.jl:62-71)
         bounds = conc_bounds(Co)
         names = CO_NAMES

@@ -1,0 +1,177 @@
+"""Batch-aware (lane-minor) stiff integrator vs the vmapped reference path.
+
+The two integrators share controller arithmetic, so trajectories must
+agree to float roundoff and step counts must match exactly — any drift
+means the lane-minor linear algebra or masking diverged from the
+per-lane semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gab1_shp2_tpu as g
+from gab1_shp2_tpu.models.params import Params
+from gab1_shp2_tpu.ops.batch_stiff import (
+    block_jacobian_lanes,
+    cr_factor_lanes,
+    cr_solve_lanes,
+    gj_inv_lanes,
+    make_mol_rhs_lanes,
+    mm_lanes,
+    solve_stiff_batch,
+)
+
+
+def _param_batch(B, spread=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    p0 = np.asarray(g.default_params().pack())
+    return Params.unpack(
+        jnp.asarray(p0[None, :] * np.exp(rng.normal(0, spread, (B, 24)))))
+
+
+class TestLaneLinalg:
+    def test_gj_inv(self):
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(5, 6, 6, 7)) + 6 * np.eye(6)[None, :, :, None]
+        Ainv = np.asarray(gj_inv_lanes(jnp.asarray(A)))
+        for i in range(5):
+            for b in range(7):
+                np.testing.assert_allclose(
+                    Ainv[i, :, :, b], np.linalg.inv(A[i, :, :, b]),
+                    rtol=1e-9, atol=1e-9)
+
+    def test_mm(self):
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(3, 4, 5, 6))
+        B = rng.normal(size=(3, 5, 4, 6))
+        got = np.asarray(mm_lanes(jnp.asarray(A), jnp.asarray(B)))
+        want = np.einsum("nijb,njkb->nikb", A, B)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_cr_solve(self):
+        rng = np.random.default_rng(3)
+        NB, n, B = 9, 4, 5
+        L = rng.normal(size=(NB, n, n, B)) * 0.1
+        U = rng.normal(size=(NB, n, n, B)) * 0.1
+        D = rng.normal(size=(NB, n, n, B)) + 4 * np.eye(n)[None, :, :, None]
+        b = rng.normal(size=(NB, n, B))
+        fac = cr_factor_lanes(*map(jnp.asarray, (L, D, U)))
+        x = np.asarray(cr_solve_lanes(fac, jnp.asarray(b)))
+        for lane in range(B):
+            M = np.zeros((NB * n, NB * n))
+            for i in range(NB):
+                M[i * n:(i + 1) * n, i * n:(i + 1) * n] = D[i, :, :, lane]
+                if i > 0:
+                    M[i * n:(i + 1) * n, (i - 1) * n:i * n] = L[i, :, :, lane]
+                if i < NB - 1:
+                    M[i * n:(i + 1) * n,
+                      (i + 1) * n:(i + 2) * n] = U[i, :, :, lane]
+            want = np.linalg.solve(M, b[:, :, lane].ravel())
+            np.testing.assert_allclose(x[:, :, lane].ravel(), want,
+                                       rtol=1e-8, atol=1e-8)
+
+
+class TestLaneRHSJacobian:
+    def test_rhs_matches_vmapped(self):
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(3)
+        R, dr = 10.0, 1.0
+        Nr = int(round(R / dr))
+        from gab1_shp2_tpu.ops.rhs import initial_state
+        from gab1_shp2_tpu.ops.jacobian import state_to_blocks
+        from gab1_shp2_tpu.ops.trbdf2 import _rhs_blocks_fn
+
+        y0s = initial_state(Co, Nr)
+        y0 = state_to_blocks(y0s.C_int, y0s.m) + 0.1
+        yb = jnp.broadcast_to(y0[..., None], y0.shape + (3,))
+
+        f_lanes, _ = make_mol_rhs_lanes(system, R, dr)
+        f_ref, _ = _rhs_blocks_fn(system, R, dr)
+        got = np.asarray(f_lanes(yb, pb))
+        want = np.asarray(
+            jax.vmap(lambda p: f_ref(y0, p), out_axes=-1)(pb))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+        from functools import partial
+
+        L, D, U = block_jacobian_lanes(partial(f_lanes, params=pb), yb)
+        from gab1_shp2_tpu.ops.jacobian import block_jacobian
+
+        Lv, Dv, Uv = jax.vmap(
+            lambda p: block_jacobian(partial(f_ref, params=p), y0),
+            out_axes=-1)(pb)
+        np.testing.assert_allclose(np.asarray(L), np.asarray(Lv),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(D), np.asarray(Dv),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(U), np.asarray(Uv),
+                                   rtol=1e-10, atol=1e-10)
+
+
+class TestBatchSolve:
+    @pytest.mark.parametrize("method", ["rosenbrock23", "trbdf2"])
+    def test_matches_vmapped(self, method):
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(4, spread=0.25)
+        kw = dict(dr=0.5, tf=2.0, Nts=4, rtol=1e-5, atol=1e-8,
+                  method=method)
+        solb, statb = solve_stiff_batch(system, Co, pb, return_stats=True,
+                                        **kw)
+        solv, statv = jax.vmap(lambda p: g.solve_stiff(
+            system, Co, p, return_stats=True, **kw))(pb)
+        np.testing.assert_allclose(np.asarray(solb.C), np.asarray(solv.C),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(solb.m), np.asarray(solv.m),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(statb.n_accepted),
+                                      np.asarray(statv.n_accepted))
+        assert not np.asarray(statb.failed).any()
+
+    def test_batched_co(self):
+        system = g.base_system()
+        Co = np.asarray(g.default_co())
+        Cob = jnp.asarray(np.stack([Co, Co * 0.5]))
+        pb = _param_batch(2, spread=0.0)
+        sol = solve_stiff_batch(system, Cob, pb, dr=1.0, tf=0.5, Nts=2,
+                                rtol=1e-4, atol=1e-7)
+        ref0 = g.solve_stiff(system, jnp.asarray(Co), Params.unpack(
+            pb.pack()[0]), dr=1.0, tf=0.5, Nts=2, rtol=1e-4, atol=1e-7)
+        ref1 = g.solve_stiff(system, jnp.asarray(Co * 0.5), Params.unpack(
+            pb.pack()[1]), dr=1.0, tf=0.5, Nts=2, rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sol.C[0]), np.asarray(ref0.C),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(sol.C[1]), np.asarray(ref1.C),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(sol.CoEGFR),
+                                   [Co[4], 0.5 * Co[4]])
+
+    def test_pulse_chase_legs(self):
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(2, spread=0.1)
+        kw = dict(dr=1.0, tf=2.0, Nts=4, rtol=1e-4, atol=1e-7,
+                  t_prechase=1.0)
+        solb = solve_stiff_batch(system, Co, pb, **kw)
+        solv = jax.vmap(lambda p: g.solve_stiff(system, Co, p, **kw))(pb)
+        np.testing.assert_allclose(np.asarray(solb.C), np.asarray(solv.C),
+                                   rtol=1e-9, atol=1e-9)
+
+    def test_failure_masking(self):
+        """A poisoned lane (absurd rates) fails without corrupting others."""
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(3, spread=0.0)
+        packed = np.array(pb.pack())
+        packed[1, 7:] *= 1e12  # blow up one lane's kinetics
+        pb = Params.unpack(jnp.asarray(packed))
+        sol, stats = solve_stiff_batch(system, Co, pb, dr=1.0, tf=1.0,
+                                       Nts=2, rtol=1e-5, atol=1e-8,
+                                       max_steps=2000, return_stats=True)
+        ok = ~np.asarray(stats.failed)
+        assert ok[0] and ok[2]
+        assert np.isfinite(np.asarray(sol.C[0])).all()
+        assert np.isfinite(np.asarray(sol.C[2])).all()
