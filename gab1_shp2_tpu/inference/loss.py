@@ -112,6 +112,91 @@ def _normal_logpdf(x, mu, sigma):
         - 0.5 * math.log(2 * math.pi)
 
 
+def datum_loglik(y, *, datum: float = DATUM_MU,
+                 datum_sigma: float = DATUM_SIGMA):
+    """Log likelihood of the fit datum given a model observable ``y``:
+    ``datum ~ truncated(LogNormal(log y, sigma), upper=100)``
+    (``param_fitting+inference_finitediff.jl:368``).  Broadcasts."""
+    y = jnp.where(jnp.isfinite(y) & (y > 0), y, 1e-10)
+    log_datum = math.log(datum)
+    ll = _normal_logpdf(log_datum, jnp.log(y), datum_sigma) - log_datum
+    z = (math.log(100.0) - jnp.log(y)) / datum_sigma
+    return ll - jax.scipy.stats.norm.logcdf(z)
+
+
+def prior_box(n_sigma_lo: float = 5.0, pad_hi: float = 0.3,
+              trunc_decades: float = 3.0):
+    """Support box for surrogate construction: ``mu - n_sigma_lo*sigma``
+    up to the prior truncation point plus a barrier margin."""
+    from gab1_shp2_tpu.priors.literature import build_priors
+
+    ln = build_priors().lognorm
+    mu = np.array([ln[n][0] for n in FIT_NAMES])
+    sigma = np.array([ln[n][1] for n in FIT_NAMES])
+    lo = mu - n_sigma_lo * sigma
+    hi = mu + trunc_decades * math.log(10.0) + pad_hi
+    return lo, hi
+
+
+def make_batch_observable(
+    system: Optional[ReactionDiffusionSystem] = None,
+    Co=None,
+    base: Optional[Params] = None,
+    *,
+    R: float = 10.0,
+    dr: float = 0.2,
+    tf: float = 5.0,
+    rtol: float = 1e-4,
+    atol: float = 1e-7,
+    method: str = "trbdf2",
+    linsolve_dtype=None,
+    max_steps: int = 20_000,
+    chunk: int = 256,
+):
+    """Chunked batched observable: (B, 4) log-parameters -> (B,) y.
+
+    The lane-minor batch integrator makes the grid sweeps behind the
+    amortized NUTS likelihood (``inference/surrogate.py``) and the
+    exact reweighting pass single-dispatch ensemble solves.  Failed
+    lanes return NaN (masked by the caller)."""
+    import jax.numpy as jnp_
+
+    from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch
+
+    system = system or base_system()
+    Co = default_co() if Co is None else Co
+    base = base or default_params(fit="prior")
+
+    @jax.jit
+    def run_chunk(log_k4):
+        B = log_k4.shape[0]
+        pbase = Params(D=jnp_.broadcast_to(base.D, (B,) + base.D.shape),
+                       k=jnp_.broadcast_to(base.k, (B,) + base.k.shape))
+        p = set_fitted(pbase, log_k4)
+        sol, stats = solve_stiff_batch(system, Co, p, R=R, dr=dr, tf=tf,
+                                       Nts=2, rtol=rtol, atol=atol,
+                                       method=method,
+                                       linsolve_dtype=linsolve_dtype,
+                                       max_steps=max_steps,
+                                       return_stats=True)
+        y = pct_shp2_bound_gab1(sol, Co, R)
+        return jnp_.where(stats.failed, jnp_.nan, y)
+
+    def batch_obs(Q: np.ndarray) -> np.ndarray:
+        Q = np.asarray(Q, float)
+        outs = []
+        for s in range(0, len(Q), chunk):
+            blk = Q[s:s + chunk]
+            pad = chunk - len(blk)
+            if pad:
+                blk = np.concatenate([blk, np.repeat(blk[-1:], pad, 0)])
+            y = np.asarray(run_chunk(jnp.asarray(blk)))
+            outs.append(y[: chunk - pad] if pad else y)
+        return np.concatenate(outs)
+
+    return batch_obs
+
+
 def make_log_posterior(
     observable: Callable,
     *,
@@ -120,15 +205,19 @@ def make_log_posterior(
     trunc_decades: float = 3.0,
     datum: float = DATUM_MU,
     datum_sigma: float = DATUM_SIGMA,
+    wrap_vjp: bool = True,
 ) -> Callable[[jax.Array], jax.Array]:
     """Log posterior over q = log(kG1p, kG1dp, kSa, kSi).
 
     Priors: LogNormal(mu_i, sigma_i) truncated at mode*10^trunc_decades
     (``param_fitting+inference_finitediff.jl:329-332``) — in log space a
     normal with an upper bound, enforced by a steep quadratic barrier so
-    the density stays differentiable for NUTS.  Likelihood:
-    ``datum ~ truncated(LogNormal(log y, sigma_data), upper=100)``
-    (``:368``).
+    the density stays differentiable for NUTS.  Likelihood: see
+    :func:`datum_loglik`.
+
+    ``wrap_vjp=False`` skips the forward-mode VJP wrapper — use it for
+    observables that are natively reverse-differentiable (the Chebyshev
+    surrogate), keeping NUTS gradients at one backward pass.
     """
     if prior_mu is None:
         from gab1_shp2_tpu.priors.literature import build_priors
@@ -139,22 +228,17 @@ def make_log_posterior(
     prior_mu = jnp.asarray(prior_mu)
     prior_sigma = jnp.asarray(prior_sigma)
     qmax = prior_mu + trunc_decades * math.log(10.0)
-    log_datum = math.log(datum)
 
     def logpost_fwdonly(q: jax.Array) -> jax.Array:
         lp = jnp.sum(_normal_logpdf(q, prior_mu, prior_sigma))
         # steep smooth barrier for the upper truncation
         over = jnp.maximum(q - qmax, 0.0)
         lp = lp - 1e4 * jnp.sum(over**2)
+        return lp + datum_loglik(observable(q), datum=datum,
+                                 datum_sigma=datum_sigma)
 
-        y = observable(q)
-        y = jnp.where(jnp.isfinite(y) & (y > 0), y, 1e-10)
-        ll = _normal_logpdf(log_datum, jnp.log(y), datum_sigma) - log_datum
-        # truncation at 100%: renormalize by CDF(log 100)
-        z = (math.log(100.0) - jnp.log(y)) / datum_sigma
-        log_cdf = jax.scipy.stats.norm.logcdf(z)
-        return lp + ll - log_cdf
-
+    if not wrap_vjp:
+        return logpost_fwdonly
     return reverse_differentiable(logpost_fwdonly)
 
 

@@ -3,9 +3,24 @@
 
 Stage 1: multistart LBFGS MAP fit of (kG1p, kG1dp, kSa, kSi) against
 the 26.426% SHP2-bound-GAB1 datum -> ``fitted_parameters.csv``.
-Stage 2: NUTS chains (vmapped; the reference uses 5 chains x 1000
-samples via MCMCDistributed) -> posterior samples + quantile CSVs in
-the reference's layout.
+Stage 2: NUTS chains (the reference uses 5 chains x 1000 samples via
+MCMCDistributed) -> posterior samples + quantile CSVs in the
+reference's layout, for both the base cell (``--co base``) and the HeLa
+abundances (``--co hela``; reference ``:380-444`` /
+``Turing_res_5-chains_1000-spls_HeLa.jld2``).
+
+Likelihood modes:
+
+  * ``--likelihood surrogate`` (default, TPU-native): one chunked
+    lane-minor ensemble sweep fills a Chebyshev surrogate of the
+    observable (``inference/surrogate.py``); NUTS runs on the surrogate
+    at ~1e5 FLOPs/leapfrog; every posterior draw is then re-evaluated
+    with the exact PDE likelihood in one more batched dispatch and
+    importance-reweighted.  Reported quantiles are exact up to the
+    printed effective sample size.
+  * ``--likelihood exact``: the reference's shape — one stiff PDE solve
+    (+ forward-mode gradient) per leapfrog.  Hours per chain; kept for
+    validation at small sample counts.
 """
 
 from __future__ import annotations
@@ -18,21 +33,42 @@ import numpy as np
 
 from gab1_shp2_tpu.inference.loss import (
     FIT_NAMES,
+    datum_loglik,
+    make_batch_observable,
     make_log_posterior,
     make_observable_fn,
+    prior_box,
 )
 from gab1_shp2_tpu.inference.map_fit import map_fit
 from gab1_shp2_tpu.inference.nuts import NUTSState, sample, warmup
+from gab1_shp2_tpu.inference.surrogate import (
+    build_surrogate,
+    importance_reweight,
+    load_surrogate,
+    save_surrogate,
+    weighted_quantiles,
+)
 from gab1_shp2_tpu.utils.cache import Checkpointer
 from gab1_shp2_tpu.workloads import common
 
 QS = (0.025, 0.25, 0.5, 0.75, 0.975)
 
 
+def _co_array(which: str):
+    import gab1_shp2_tpu as g
+
+    return g.default_co() if which == "base" else g.hela_co()
+
+
 def main(argv=None):
     ap = common.default_argparser(__doc__)
     ap.add_argument("--stage", choices=("map", "nuts", "both"),
                     default="both")
+    ap.add_argument("--co", choices=("base", "hela"), default="base")
+    ap.add_argument("--likelihood", choices=("surrogate", "exact"),
+                    default="surrogate")
+    ap.add_argument("--grid-n", type=int, default=17,
+                    help="surrogate Chebyshev nodes per dimension")
     ap.add_argument("--chains", type=int, default=5)
     ap.add_argument("--samples", type=int, default=1000)
     ap.add_argument("--warmup", type=int, default=500)
@@ -46,6 +82,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     out = args.outdir
     os.makedirs(out, exist_ok=True)
+    tag = "" if args.co == "base" else "_hela"
+    Co = _co_array(args.co)
 
     x_map = None
     if args.stage in ("map", "both"):
@@ -60,73 +98,153 @@ def main(argv=None):
                         [[n, res.values[n]] for n in FIT_NAMES])
         x_map = jnp.asarray(res.log_k4)
 
-    if args.stage in ("nuts", "both"):
-        obs = make_observable_fn(dr=args.dr, rtol=args.rtol)
-        lp = make_log_posterior(obs)
-        if x_map is None:
-            x_map = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
-        keys = jax.random.split(jax.random.PRNGKey(args.seed), args.chains)
+    if args.stage not in ("nuts", "both"):
+        return
 
-        # resumable sampling: warm up once, then draw in checkpointed
-        # blocks (the reference has no mid-run checkpointing; long NUTS
-        # runs here survive interruption)
-        block = max(1, min(100, args.samples))
-        cfg = {"dr": args.dr, "rtol": args.rtol, "chains": args.chains,
-               "warmup": args.warmup, "samples": args.samples,
-               "seed": args.seed}
-        ck = Checkpointer("nuts", cfg, cache_dir=f"{out}/cache", every=60.0)
-        saved = ck.restore()
+    if x_map is None:
+        x_map = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
 
-        vwarm = jax.vmap(lambda k: warmup(
-            lp, x_map, k, num_warmup=args.warmup,
-            max_depth=args.max_depth, target_accept=0.65,
-            init_step_size=args.init_step))
-        vsample = jax.vmap(lambda s: sample(lp, s, num_samples=block,
-                                            max_depth=args.max_depth))
-
-        if saved is None:
-            state = vwarm(keys)
-            qs_blocks, div_blocks, done = [], [], 0
-        else:
-            state = NUTSState(*[jnp.asarray(saved[f"s{i}"])
-                                for i in range(len(NUTSState._fields))])
-            qs_blocks = [saved["qs"]]
-            div_blocks = [saved["div"]]
-            done = int(saved["done"])
-            print(f"resumed NUTS at {done}/{args.samples} samples")
-
-        while done < args.samples:
-            state, qs, info = vsample(state)
-            qs_blocks.append(np.asarray(qs))
-            div_blocks.append(np.asarray(info["diverged"]))
-            done += block
-            ck.maybe_save({**{f"s{i}": np.asarray(l) for i, l in
-                              enumerate(state)},
-                           "qs": np.concatenate(qs_blocks, axis=1),
-                           "div": np.concatenate(div_blocks, axis=1),
-                           "done": done})
-            print(f"  {done}/{args.samples} samples", flush=True)
-        ck.clear()
-
-        qs_all = np.concatenate(qs_blocks, axis=1)[:, : args.samples]
-        div_all = np.concatenate(div_blocks, axis=1)[:, : args.samples]
+    if args.likelihood == "surrogate":
+        qs_all, div_all, sur = _run_nuts_surrogate(args, Co, x_map, out, tag)
+        samples = _reweight_and_save(args, Co, qs_all, sur, out, tag)
+    else:
+        qs_all, div_all = _run_nuts_exact(args, Co, x_map, out, tag)
         samples = np.exp(np.asarray(qs_all).reshape(-1, 4))
-        div = int(div_all.sum())
-        print(f"NUTS: {args.chains}x{args.samples} samples, "
-              f"{div} divergences")
-        common.save_csv(
-            f"{out}/posterior_samples.csv", list(FIT_NAMES),
-            samples.tolist())
-        rows = []
-        for j, n in enumerate(FIT_NAMES):
-            q = np.quantile(samples[:, j], QS)
-            rows.append([n] + list(q) + [samples[:, j].mean()])
-            print(f"  {n}: median {q[2]:.4g} [{q[0]:.4g}, {q[4]:.4g}]")
-        common.save_csv(f"{out}/posterior_quantiles.csv",
-                        ["param"] + [f"q{q}" for q in QS] + ["mean"], rows)
+        _save_posterior(out, tag, samples, None)
 
-        if args.predictive:
-            _predictive_checks(obs, samples, args, out)
+    if args.predictive:
+        obs = make_observable_fn(Co=Co, dr=args.dr, rtol=args.rtol)
+        _predictive_checks(obs, samples, args, out)
+
+
+def _run_chains(lp, x_map, args, checkpoint_cfg, out):
+    """Warmup + block-sampled vmapped chains with checkpoint/resume."""
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), args.chains)
+    block = max(1, min(100, args.samples))
+    ck = Checkpointer("nuts", checkpoint_cfg, cache_dir=f"{out}/cache",
+                      every=60.0)
+    saved = ck.restore()
+
+    vwarm = jax.vmap(lambda k: warmup(
+        lp, x_map, k, num_warmup=args.warmup,
+        max_depth=args.max_depth, target_accept=0.65,
+        init_step_size=args.init_step))
+    vsample = jax.vmap(lambda s: sample(lp, s, num_samples=block,
+                                        max_depth=args.max_depth))
+
+    if saved is None:
+        state = vwarm(keys)
+        qs_blocks, div_blocks, done = [], [], 0
+    else:
+        state = NUTSState(*[jnp.asarray(saved[f"s{i}"])
+                            for i in range(len(NUTSState._fields))])
+        qs_blocks = [saved["qs"]]
+        div_blocks = [saved["div"]]
+        done = int(saved["done"])
+        print(f"resumed NUTS at {done}/{args.samples} samples")
+
+    while done < args.samples:
+        state, qs, info = vsample(state)
+        qs_blocks.append(np.asarray(qs))
+        div_blocks.append(np.asarray(info["diverged"]))
+        done += block
+        ck.maybe_save({**{f"s{i}": np.asarray(l) for i, l in
+                          enumerate(state)},
+                       "qs": np.concatenate(qs_blocks, axis=1),
+                       "div": np.concatenate(div_blocks, axis=1),
+                       "done": done})
+        print(f"  {done}/{args.samples} samples", flush=True)
+    ck.clear()
+
+    qs_all = np.concatenate(qs_blocks, axis=1)[:, : args.samples]
+    div_all = np.concatenate(div_blocks, axis=1)[:, : args.samples]
+    print(f"NUTS: {args.chains}x{args.samples} samples, "
+          f"{int(div_all.sum())} divergences")
+    return qs_all, div_all
+
+
+def _run_nuts_surrogate(args, Co, x_map, out, tag):
+    sur_path = f"{out}/surrogate{tag}_n{args.grid_n}.npz"
+    if os.path.exists(sur_path):
+        sur = load_surrogate(sur_path)
+        print(f"loaded surrogate {sur_path}")
+    else:
+        lo, hi = prior_box()
+        batch_obs = make_batch_observable(
+            Co=Co, dr=args.dr, rtol=args.rtol, method="trbdf2",
+            linsolve_dtype=jnp.float32, max_steps=4000, chunk=args.chunk)
+        print(f"building surrogate: {args.grid_n}^4 = "
+              f"{args.grid_n**4} grid solves ...", flush=True)
+        sur, grid_vals = build_surrogate(
+            batch_obs, lo, hi, n=args.grid_n, chunk=args.chunk,
+            progress=lambda i, n: print(f"  grid {i}/{n}", flush=True)
+            if i % (args.chunk * 32) == 0 or i == n else None)
+        save_surrogate(sur_path, sur, grid_vals)
+        print(f"saved surrogate {sur_path}")
+
+    lp = make_log_posterior(sur.y, wrap_vjp=False)
+    cfg = {"surrogate": args.grid_n, "co": tag, "chains": args.chains,
+           "warmup": args.warmup, "samples": args.samples,
+           "seed": args.seed}
+    qs_all, div_all = _run_chains(lp, x_map, args, cfg, out)
+    return qs_all, div_all, sur
+
+
+def _run_nuts_exact(args, Co, x_map, out, tag):
+    obs = make_observable_fn(Co=Co, dr=args.dr, rtol=args.rtol)
+    lp = make_log_posterior(obs)
+    cfg = {"dr": args.dr, "rtol": args.rtol, "co": tag,
+           "chains": args.chains, "warmup": args.warmup,
+           "samples": args.samples, "seed": args.seed}
+    return _run_chains(lp, x_map, args, cfg, out)
+
+
+def _reweight_and_save(args, Co, qs_all, sur, out, tag):
+    """Exact PDE likelihood at every draw -> importance weights + ESS."""
+    Q = np.asarray(qs_all).reshape(-1, 4)
+    print(f"exact reweighting pass: {len(Q)} PDE solves ...", flush=True)
+    batch_obs = make_batch_observable(
+        Co=Co, dr=args.dr, rtol=1e-6, atol=1e-9, method="trbdf2",
+        linsolve_dtype=jnp.float32, max_steps=40_000, chunk=args.chunk)
+    y_exact = batch_obs(Q)
+    y_sur = np.asarray(jax.vmap(sur.y)(jnp.asarray(Q)))
+    ll_exact = np.asarray(datum_loglik(jnp.asarray(y_exact)))
+    ll_sur = np.asarray(datum_loglik(jnp.asarray(y_sur)))
+    w, ess = importance_reweight(ll_exact, ll_sur)
+
+    ok = np.isfinite(y_exact)
+    dlog = np.abs(np.log(np.maximum(y_exact[ok], 1e-12))
+                  - np.log(np.maximum(y_sur[ok], 1e-12)))
+    print(f"surrogate fidelity at draws: max|dlog y| = {dlog.max():.3g}, "
+          f"p95 = {np.percentile(dlog, 95):.3g}; "
+          f"exact-solve failures: {int((~ok).sum())}")
+    print(f"importance ESS = {ess:.0f} / {len(Q)}")
+
+    samples = np.exp(Q)
+    _save_posterior(out, tag, samples, w, ess=ess)
+    return samples
+
+
+def _save_posterior(out, tag, samples, w, ess=None):
+    rows = [[*samples[i], (w[i] if w is not None else 1.0)]
+            for i in range(len(samples))]
+    common.save_csv(f"{out}/posterior_samples{tag}.csv",
+                    list(FIT_NAMES) + ["weight"], rows)
+    qrows = []
+    for j, n in enumerate(FIT_NAMES):
+        if w is None:
+            q = np.quantile(samples[:, j], QS)
+            mean = samples[:, j].mean()
+        else:
+            q = weighted_quantiles(samples[:, j], w, QS)
+            mean = float(np.sum(w * samples[:, j]))
+        qrows.append([n] + list(q) + [mean])
+        print(f"  {n}: median {q[2]:.4g} [{q[0]:.4g}, {q[4]:.4g}]")
+    hdr = ["param"] + [f"q{q}" for q in QS] + ["mean"]
+    common.save_csv(f"{out}/posterior_quantiles{tag}.csv", hdr, qrows)
+    if ess is not None:
+        common.save_csv(f"{out}/posterior_ess{tag}.csv",
+                        ["n_draws", "ess"], [[len(samples), ess]])
 
 
 def _predictive_checks(obs, posterior_samples, args, out):
