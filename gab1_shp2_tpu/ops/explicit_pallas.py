@@ -209,8 +209,11 @@ def solve_explicit_pallas(
     """
     Nr = int(round(R / dr))
     if Nr + 1 > LANES:
-        raise ValueError(f"grid {Nr+1} nodes exceeds the {LANES}-lane "
-                         f"kernel layout; use dr >= R/{LANES - 1}")
+        raise ValueError(
+            f"grid {Nr + 1} nodes exceeds the {LANES}-lane kernel layout "
+            f"(needs dr >= R/{LANES - 1}).  This excludes fine grids "
+            f"(dr=0.05 at R=10) and the R=100 length_scales workload — "
+            f"use solve_stiff_batch / solve_explicit for those.")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 

@@ -111,6 +111,12 @@ def main(argv=None):
                      s.memb("EG2PG1S")[-1] * 3.0 / R /
                      (s.PG1Stot[-1, -1] + s.memb("EG2PG1S")[-1] * 3.0 / R)]),
                 **kw)
+            # HeLa GAB1 is only 1.53e3 copies/cell: at extreme kG2f the
+            # center-node PG1Stot denominator can underflow (f32) to
+            # 0/0 — treat non-finite ratios as failed lanes, the same
+            # masking discipline as solver failures
+            finite = jnp.isfinite(cs).all(axis=-1)
+            ok = jnp.logical_and(ok, finite)
             qs = np.asarray(masked_quantiles(cs, ok))
             rows.append([fac, qs[1, 0], qs[0, 0], qs[2, 0], qs[1, 1]])
             okm = np.asarray(ok)

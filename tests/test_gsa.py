@@ -119,24 +119,55 @@ class TestPDEIntegration:
         assert ST[2, 0] > 0.05
 
 
+# mapping from the reference's bracketed concentration labels to ours
+_CONC_MAP = {"[SFK]": "CoSFK", "[GRB2]": "CoG2", "[GAB1]": "CoG1",
+             "[SHP2]": "CoS2", "[EGFR]": "CoEGFR"}
+
+_GSA_SETS = {
+    "dk": ("eFAST_dk_1000spls_ST.csv",
+           "eFAST-GSA-res_diffs+kinetic-params_1000-spls-per-param_ST.csv"),
+    "dk_membsfk": (
+        "eFAST_dk_membsfk_1000spls_ST.csv",
+        "eFAST-GSA-res_diffs+kinetic-params_memb-SFKs_"
+        "1000-spls-per-param_ST.csv"),
+    "concs": ("eFAST_concs_1000spls_ST.csv",
+              "eFAST-GSA-res_concs_1000-spls-per-param_ST.csv"),
+    "concs_membsfk": (
+        "eFAST_concs_membsfk_1000spls_ST.csv",
+        "eFAST-GSA-res_concs_memb-SFKs_1000-spls-per-param_ST.csv"),
+}
+
+
 class TestReferenceRankings:
-    def test_efast_artifact_matches_reference_rankings(self, reference_dir):
-        """The committed full-scale eFAST artifact must rank parameters
-        like the reference's shipped results (Spearman on ST and
-        top-3 agreement for the headline outputs)."""
+    @pytest.mark.parametrize("which", list(_GSA_SETS))
+    def test_efast_artifact_matches_reference_rankings(self, which,
+                                                       reference_dir):
+        """Every committed full-scale eFAST artifact must rank
+        parameters like the reference's shipped results: Spearman on ST
+        for the headline outputs, plus top-set agreement.  The concs
+        sets have only 5 parameters, so the check there is top-2
+        agreement on the headline output."""
         import os
 
-        art = "results/eFAST_dk_1000spls_ST.csv"
+        art_name, ref_name = _GSA_SETS[which]
+        art = f"results/{art_name}"
         if not os.path.exists(art):
             pytest.skip("artifact not present")
         import pandas as pd
         from scipy.stats import spearmanr
 
         ref = pd.read_csv(
-            f"{reference_dir}/Julia/GSA results/"
-            "eFAST-GSA-res_diffs+kinetic-params_1000-spls-per-param_ST.csv"
-        ).set_index("param")
+            f"{reference_dir}/Julia/GSA results/{ref_name}")
+        ref["param"] = ref["param"].map(lambda s: _CONC_MAP.get(s, s))
+        ref = ref.set_index("param")
         mine = pd.read_csv(art).set_index("param")
+
+        if which.startswith("concs"):
+            top_ref = set(ref["[pG1S2]_average"].nlargest(2).index)
+            top_mine = set(mine["[pG1S2]_average"].nlargest(2).index)
+            assert top_ref == top_mine, (top_ref, top_mine)
+            return
+
         for col, min_rho in (("[pG1S2]_average", 0.6),
                              ("[pG1S2]_cent:surf", 0.6),
                              ("r_1/2, pG1S2", 0.6)):
