@@ -105,12 +105,17 @@ def _step_fn(system, Nr, dr, maxiters):
         C_near = C_new[:, :N_CYTO, Nr - 1]  # (B, 10)
 
         # membrane fixed point, fixed iteration count: the coupling
-        # contracts fast at explicit-stability step sizes (measured
-        # convergence to the f32 floor within 3 iterations at baseline
-        # parameters -- see tests), so a small fixed count replaces the
-        # reference's tolerance loop (basepdesolver.jl:197-242; a
-        # data-dependent while_loop here also crashes the Mosaic
-        # compiler).  The XLA paths keep exact tolerance semantics.
+        # contracts at explicit-stability step sizes (~0.4x/iteration
+        # measured at x1000-bounds GSA corner draws, f32 floor within 3
+        # iterations at baseline parameters), so a small fixed count
+        # replaces the reference's tolerance loop
+        # (basepdesolver.jl:197-242; a data-dependent while_loop here
+        # also crashes the Mosaic compiler).  Because the loop
+        # warm-starts from the previous step's (gCR, gm), any residual
+        # damps by ~0.4^maxiters per *time step* -- with the default 8,
+        # even the worst measured cold-start corner residual (1.7e-3)
+        # is below the f32 floor after two steps.  The XLA paths keep
+        # exact tolerance semantics.
         def fp(i, carry):
             CR, mm = carry
             CR_new = jax.vmap(
@@ -197,7 +202,7 @@ def solve_explicit_pallas(
     R: float = 10.0,
     dr: float = 0.2,
     tf: float = 5.0,
-    maxiters: int = 4,
+    maxiters: int = 8,
     block: int = 128,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
