@@ -31,8 +31,23 @@ REFERENCE_CHAIN = ("/root/reference/Julia/Turing results/"
                    "Turing_res_5-chains_1000-spls_posteriors.csv")
 
 
+class _ForceCPU(argparse.Action):
+    """``--cpu``: pin this process to the CPU backend.  Must take
+    effect before any computation; the axon TPU plugin auto-registers
+    and ignores ``JAX_PLATFORMS`` from the environment, so this is the
+    only reliable switch.  Useful for latency-bound stages (e.g. the
+    serial LBFGS refinement in the MAP fit) that would trip the TPU
+    runtime's ~60 s single-execution watchdog."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        jax.config.update("jax_platforms", "cpu")
+        setattr(namespace, self.dest, True)
+
+
 def default_argparser(desc: str) -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=desc)
+    ap.add_argument("--cpu", nargs=0, action=_ForceCPU, default=False,
+                    help="run on the CPU backend (see _ForceCPU)")
     ap.add_argument("--n", type=int, default=200,
                     help="ensemble size (reference defaults are 1000-5000)")
     ap.add_argument("--dr", type=float, default=0.2)

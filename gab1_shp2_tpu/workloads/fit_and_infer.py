@@ -102,7 +102,20 @@ def main(argv=None):
         return
 
     if x_map is None:
-        x_map = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
+        # separate --stage nuts invocation: reuse a MAP fit written by
+        # an earlier --stage map run (reference inits all chains at the
+        # MAP point, param_fitting+inference_finitediff.jl:404)
+        fit_csv = f"{out}/fitted_parameters.csv"
+        if os.path.exists(fit_csv):
+            import csv
+
+            with open(fit_csv) as f:
+                vals = {r["name"]: float(r["value"])
+                        for r in csv.DictReader(f)}
+            x_map = jnp.log(jnp.asarray([vals[n] for n in FIT_NAMES]))
+            print(f"chains init at MAP from {fit_csv}")
+        else:
+            x_map = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
 
     if args.likelihood == "surrogate":
         qs_all, div_all, sur = _run_nuts_surrogate(args, Co, x_map, out, tag)

@@ -146,3 +146,53 @@ class TestMAPFit:
         assert np.isfinite(qs).all()
         # the chain explores (not stuck at the initial point)
         assert np.std(qs, axis=0).max() > 0.05
+
+
+class TestPosteriorQuantileParity:
+    """Committed NUTS artifacts vs the reference's Turing quantiles
+    (``Turing results/Turing_res_5-chains_1000-spls_posteriors[_HeLa]_
+    quantiles.csv``, produced by
+    ``param_fitting+inference_finitediff.jl:411-444``).
+
+    The reference posteriors are diffuse (95% CIs span 3-4 decades), so
+    the parity criterion is *location*: medians within x/3 of the
+    reference, and the central-50% interval overlapping.  Skips when
+    the artifact has not been generated yet
+    (``workloads/fit_and_infer.py``).
+    """
+
+    @pytest.mark.parametrize("tag,ref_name", [
+        ("", "Turing_res_5-chains_1000-spls_posteriors_quantiles.csv"),
+        ("_hela",
+         "Turing_res_5-chains_1000-spls_posteriors_HeLa_quantiles.csv"),
+    ])
+    def test_median_location(self, tag, ref_name):
+        import csv
+        import os
+
+        here = os.path.dirname(__file__)
+        mine_path = os.path.join(
+            here, "..", "results", "inference",
+            f"posterior_quantiles{tag}.csv")
+        if not os.path.exists(mine_path):
+            pytest.skip(f"artifact not generated: {mine_path}")
+        ref_path = os.path.join(
+            "/root/reference/Julia/Turing results", ref_name)
+
+        def load(path, name_col, med_col, q25_col, q75_col):
+            out = {}
+            with open(path) as f:
+                for row in csv.DictReader(f):
+                    out[row[name_col]] = (float(row[med_col]),
+                                          float(row[q25_col]),
+                                          float(row[q75_col]))
+            return out
+
+        ref = load(ref_path, "parameters", "50.0%", "25.0%", "75.0%")
+        mine = load(mine_path, "param", "q0.5", "q0.25", "q0.75")
+        assert set(ref) == set(mine)
+        for n, (rm, rlo, rhi) in ref.items():
+            mm, mlo, mhi = mine[n]
+            assert rm / 3.0 < mm < rm * 3.0, (n, mm, rm)
+            # central-50% intervals overlap
+            assert mlo < rhi and rlo < mhi, (n, (mlo, mhi), (rlo, rhi))
