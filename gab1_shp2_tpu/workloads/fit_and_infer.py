@@ -131,7 +131,24 @@ def main(argv=None):
 
 
 def _run_chains(lp, x_map, args, checkpoint_cfg, out):
-    """Warmup + block-sampled vmapped chains with checkpoint/resume."""
+    """Warmup + block-sampled vmapped chains with checkpoint/resume.
+
+    Pinned to the host CPU device: the sampling loop is op-latency
+    bound (a few-KFLOP surrogate evaluation per leapfrog inside a
+    while_loop), so on the TPU a 100-sample block is one multi-minute
+    single execution — past the axon runtime's ~60 s watchdog — while
+    on CPU it is seconds.  The surrogate build and the exact
+    reweighting pass (batched PDE solves) stay on the TPU.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # CPU-only test envs: already there
+        cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        return _run_chains_on(lp, x_map, args, checkpoint_cfg, out)
+
+
+def _run_chains_on(lp, x_map, args, checkpoint_cfg, out):
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.chains)
     block = max(1, min(100, args.samples))
     ck = Checkpointer("nuts", checkpoint_cfg, cache_dir=f"{out}/cache",
