@@ -104,7 +104,7 @@ def run_ensemble(
         n_steps = int(np.ceil(tf / float(jnp.min(dts))))
         nt_active = jnp.ceil(tf / dts).astype(jnp.int32)
 
-        def one(p_dt):
+        def one(p_dt, n_steps=n_steps):
             p, dt_i, nt_i = p_dt
             sol = solve_explicit(system, Co, p, R=R, dr=dr, tf=tf, Nts=Nts,
                                  dt=dt_i, n_steps=n_steps, nt_active=nt_i,
@@ -119,6 +119,14 @@ def run_ensemble(
     if solver == "explicit":
         batched_args = (pb, dts, nt_active)
         vone = jax.vmap(one)
+        if chunk is not None and chunk < N:
+            # per-group step counts: lanes in lock-step all pay
+            # n_steps of the chunk's stiffest member, so sort by dt
+            # and give each chunk its own (quantized) step count
+            # instead of the global worst case (one stiff member no
+            # longer taxes the whole ensemble).
+            return _run_explicit_grouped(one, batched_args, dts, tf,
+                                         chunk, N)
     else:
         batched_args = pb
     if chunk is None or chunk >= N:
@@ -140,6 +148,45 @@ def run_ensemble(
         out, ok = jax.tree_util.tree_map(
             lambda a: a.reshape((n_tot,) + a.shape[2:])[:N], (out, ok))
     return out, ok
+
+
+def _run_explicit_grouped(one, batched_args, dts, tf, chunk, N):
+    """Chunked explicit ensemble with per-chunk step counts.
+
+    Lanes are sorted by stability dt (descending: cheap first) so each
+    chunk's static ``n_steps`` is set by *its own* stiffest member, not
+    the global one.  Step counts are rounded up to a geometric
+    (ratio-2) grid so at most ~log2(spread) distinct programs compile;
+    the extra steps a round-up adds run masked (``nt_active``)."""
+    order = np.argsort(-np.asarray(dts), kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(N)
+    sorted_args = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a)[order], batched_args)
+
+    pad = (-N) % chunk
+    if pad:
+        sorted_args = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0),
+            sorted_args)
+    n_tot = N + pad
+    dts_sorted = np.asarray(dts)[order]
+
+    def chunk_solver(ca, n_steps):
+        return jax.vmap(lambda pd: one(pd, n_steps=n_steps))(ca)
+
+    vone = jax.jit(chunk_solver, static_argnames=("n_steps",))
+    outs = []
+    for s in range(0, n_tot, chunk):
+        ca = jax.tree_util.tree_map(
+            lambda a: a[s:s + chunk], sorted_args)
+        dt_min = dts_sorted[min(s + chunk, N) - 1]
+        n_raw = int(np.ceil(tf / float(dt_min)))
+        n_chunk = 1 << max(0, int(np.ceil(np.log2(max(1, n_raw)))))
+        outs.append(vone(ca, n_steps=n_chunk))
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[:N][inv], *outs)
 
 
 def masked_quantiles(values: jax.Array, valid: jax.Array,

@@ -146,3 +146,21 @@ def test_chunk_not_dividing_n():
                           solver="stiff", extract=lambda s: s.PG1Stot[-1],
                           rtol=1e-4, atol=1e-7, **FAST)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+class TestExplicitGroupedChunks:
+    def test_grouped_matches_unchunked(self):
+        """Chunked explicit ensembles sort lanes by stability dt and
+        give each chunk its own step count (one stiff member no longer
+        sets every lane's n_steps).  Results must match the unchunked
+        path exactly after un-sorting, including the validity mask."""
+        # wide spread of stiffness so chunks get different step counts
+        batch = _small_batch(n=9, sigma=0.6, seed=3)
+        kw = dict(solver="explicit", extract=lambda s: s.PG1Stot[-1],
+                  tol=1e-4, maxiters=20, **FAST)
+        a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch,
+                              chunk=4, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
