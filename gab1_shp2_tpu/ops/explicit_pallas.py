@@ -105,17 +105,18 @@ def _step_fn(system, Nr, dr, maxiters):
         C_near = C_new[:, :N_CYTO, Nr - 1]  # (B, 10)
 
         # membrane fixed point, fixed iteration count: the coupling
-        # contracts at explicit-stability step sizes (~0.4x/iteration
-        # measured at x1000-bounds GSA corner draws, f32 floor within 3
-        # iterations at baseline parameters), so a small fixed count
-        # replaces the reference's tolerance loop
-        # (basepdesolver.jl:197-242; a data-dependent while_loop here
-        # also crashes the Mosaic compiler).  Because the loop
-        # warm-starts from the previous step's (gCR, gm), any residual
-        # damps by ~0.4^maxiters per *time step* -- with the default 8,
-        # even the worst measured cold-start corner residual (1.7e-3)
-        # is below the f32 floor after two steps.  The XLA paths keep
-        # exact tolerance semantics.
+        # contracts fast at explicit-stability step sizes because the
+        # iterate only feeds back through dt-scaled membrane rates
+        # (m_new = m_prev + dt*rates(m_prev, bc(mm))).  Measured at
+        # x1000-bounds GSA corner draws, mid-transient, with this exact
+        # map: warm-started (as here, from the previous step's gCR/gm)
+        # 4 iterations reach ~1e-5 relative residual -- the f32 floor;
+        # contraction ~0.3x/iteration (see
+        # tests/test_utils_and_pallas.py::TestMembraneFixedPointAtCorners).
+        # A fixed small count therefore replaces the reference's
+        # tolerance loop (basepdesolver.jl:197-242; a data-dependent
+        # while_loop here also crashes the Mosaic compiler).  The XLA
+        # paths keep exact tolerance semantics.
         def fp(i, carry):
             CR, mm = carry
             CR_new = jax.vmap(
@@ -202,7 +203,7 @@ def solve_explicit_pallas(
     R: float = 10.0,
     dr: float = 0.2,
     tf: float = 5.0,
-    maxiters: int = 8,
+    maxiters: int = 4,
     block: int = 128,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:

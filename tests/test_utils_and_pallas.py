@@ -127,20 +127,24 @@ class TestMembraneFixedPointAtCorners:
     def test_fixed_iterations_converge_at_gsa_corners(self):
         """The Pallas kernel replaces the reference's tolerance-looped
         membrane fixed point (basepdesolver.jl:197-242) with a fixed
-        iteration count.  Round-1 validated the contraction only at
-        baseline parameters; this drives the same fp map at x1000-bounds
-        GSA corner draws from a COLD start (harder than the kernel's
-        warm start from the previous step's values) and asserts
-        (a) 2x the kernel default iteration count reaches the f32 noise
-        floor, and (b) the contraction rate beyond the default count is
-        <=0.5x/iteration, so the kernel's per-time-step warm-start
-        damping (~rate^maxiters) kills any cold-start residual within
-        two steps.  Measured profile (2026-08-16): residual stalls at
-        1.7e-3 through iteration 4, then contracts ~0.4x/iter, 2e-6 by
-        iteration 12 — this is why the kernel default is 8, not 4."""
+        iteration count; round-1 validated the contraction only at
+        baseline parameters.  This probes the kernel's EXACT map
+        (m_new = m_prev + dt*rates(m_prev, bc(mm)) -- the iterate feeds
+        back only through dt-scaled membrane rates) at x1000-bounds GSA
+        corner draws, at a MID-TRANSIENT state (t=0 is trivially
+        converged because the membrane is unstimulated): drive each lane
+        300 steps with the tolerance-looped XLA solver, then fixed-point
+        iterate one further step.  Asserts the kernel's warm start (the
+        previous step's membrane values, as carried in-kernel) reaches
+        <=3e-5 relative residual within the default iteration count.
+        Measured profile (2026-08-16, B=32, 500 steps): warm 7.5e-3 ->
+        1.7e-4 -> 3.7e-5 -> 1.0e-5; contraction ~0.3x/iteration."""
+        import inspect
+
         from gab1_shp2_tpu.gsa.runner import dk_bounds
         from gab1_shp2_tpu.models.params import stability_dt
-        from gab1_shp2_tpu.models.species import N_CYTO, N_MEMB
+        from gab1_shp2_tpu.ops import explicit_pallas
+        from gab1_shp2_tpu.ops.explicit import solve_explicit
         from gab1_shp2_tpu.ops.rhs import (
             bc_closure,
             effective_diffusivities,
@@ -148,58 +152,64 @@ class TestMembraneFixedPointAtCorners:
             memb_rates,
         )
 
+        default_iters = inspect.signature(
+            explicit_pallas.solve_explicit_pallas
+        ).parameters["maxiters"].default
+
         system = base_system()
         Co = np.asarray(default_co(), np.float32)
         dr = 0.2
+        B, n_pre = 6, 300
         rng = np.random.default_rng(42)
         bounds = np.asarray(dk_bounds(default_params()))
-        # 256 log-uniform corner-region draws
         lo, hi = np.log(bounds[:, 0]), np.log(bounds[:, 1])
-        draws = np.exp(lo + (hi - lo) * rng.random((256, 24)))
+        draws = np.exp(lo + (hi - lo) * rng.random((B, 24)))
         pb = Params.unpack(jnp.asarray(draws, jnp.float32))
-        dt = stability_dt(pb, dr).astype(jnp.float32)      # (B,)
+        dts = np.asarray(stability_dt(pb, dr))
 
-        # representative near-membrane state: uniform initial condition
-        C_near = jnp.broadcast_to(
-            jnp.asarray([Co[0], Co[1], Co[2], Co[3], 0, 0, 0, 0, 0, 0],
-                        jnp.float32), (256, N_CYTO))
-        m = jnp.zeros((256, N_MEMB), jnp.float32).at[:, 0].set(Co[4])
+        # mid-transient states from the exact tolerance-looped solver
+        Cs, ms = [], []
+        for i in range(B):
+            p = Params.unpack(jnp.asarray(draws[i], jnp.float32))
+            sol = solve_explicit(system, jnp.asarray(Co), p, dr=dr,
+                                 tf=float(n_pre * dts[i]), Nts=2,
+                                 maxiters=100, tol=0.0)
+            Cs.append(np.asarray(sol.C[-1]))
+            ms.append(np.asarray(sol.m[-1]))
+        Cs = jnp.asarray(np.stack(Cs))
+        m_prev = jnp.asarray(np.stack(ms))
+        C_near = Cs[:, :, -2]
+        CR_warm = Cs[:, :, -1]
+        dt = jnp.asarray(dts, jnp.float32)
         d_eff = jax.vmap(
             lambda p: effective_diffusivities(system, p))(pb)
 
-        def fp_iter(carry, _):
+        def fp_iter(carry):
             CR, mm = carry
             CR_new = jax.vmap(
                 lambda cn, mi, kb, de: bc_closure(
                     system, cn, mi, kdict(kb), de, dr)
             )(C_near, mm, pb.k, d_eff)
-            m_new = m + dt[:, None] * jax.vmap(
-                lambda mi, cr, kb: memb_rates(system, mi, cr, kdict(kb))
-            )(mm, CR_new, pb.k)
-            return (CR_new, m_new), None
+            m_new = m_prev + dt[:, None] * jax.vmap(
+                lambda mp, cr, kb: memb_rates(system, mp, cr, kdict(kb))
+            )(m_prev, CR_new, pb.k)
+            return (CR_new, m_new)
 
-        from gab1_shp2_tpu.ops import explicit_pallas
-        import inspect
-        default_iters = inspect.signature(
-            explicit_pallas.solve_explicit_pallas
-        ).parameters["maxiters"].default
+        ref = (CR_warm, m_prev)
+        for _ in range(60):
+            ref = fp_iter(ref)
+        assert np.isfinite(np.asarray(ref[0])).all()
+        scale = np.abs(np.asarray(ref[0])) + 1e-3
 
-        cold = (jnp.zeros_like(C_near), jnp.zeros_like(m))
-        (cr50, m50), _ = jax.lax.scan(fp_iter, cold, None, length=50)
-        scale = np.abs(np.asarray(cr50)) + 1e-3
-
-        carry = cold
+        carry = (CR_warm, m_prev)
         errs = []
-        for _ in range(2 * default_iters):
-            carry, _ = fp_iter(carry, None)
+        for _ in range(default_iters):
+            carry = fp_iter(carry)
             errs.append(
-                (np.abs(np.asarray(carry[0]) - np.asarray(cr50)) / scale)
-                .max())
-        assert np.isfinite(np.asarray(cr50)).all()
-        # (a) twice the default budget reaches the f32 noise floor
-        assert errs[-1] < 1e-4, errs[-1]
-        # (b) contraction beyond the default count is at least 2x/iter,
-        # so warm-start damping per time step is <= 0.5**default_iters
-        tail = [e for e in errs[default_iters - 1:] if e > 1e-6]
-        for a, b in zip(tail, tail[1:]):
-            assert b <= 0.5 * a + 1e-7, (a, b)
+                (np.abs(np.asarray(carry[0]) - np.asarray(ref[0]))
+                 / scale).max())
+        # warm start + default count reaches the f32 noise floor
+        assert errs[-1] < 3e-5, errs
+        # and contracts monotonically towards it
+        for a, b in zip(errs, errs[1:]):
+            assert b <= 0.6 * a + 1e-7, errs
