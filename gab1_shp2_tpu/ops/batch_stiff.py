@@ -113,12 +113,15 @@ def gj_inv_lanes(Am: jax.Array) -> jax.Array:
 
 
 class CRLanesLevel(NamedTuple):
+    # n_blocks is implied by the shapes (2 * Dinv_odd.shape[0]) so the
+    # factors stay a pure-array pytree: they are carried through
+    # lax.cond / while_loop by the jac_reuse path, where an int leaf
+    # would turn into a tracer
     Dinv_odd: jax.Array
     L_odd: jax.Array
     U_odd: jax.Array
     LDinv: jax.Array
     UDinv: jax.Array
-    n_blocks: int
 
 
 class CRLanesFactors(NamedTuple):
@@ -168,7 +171,7 @@ def cr_factor_lanes(L: jax.Array, D: jax.Array, U: jax.Array
         U_new = -mm_lanes(UDinv, Uo)
 
         levels.append(CRLanesLevel(Dinv_odd=Dinv_odd, L_odd=Lo, U_odd=Uo,
-                                   LDinv=LDinv, UDinv=UDinv, n_blocks=nb))
+                                   LDinv=LDinv, UDinv=UDinv))
         L, D, U = L_new, D_new, U_new
         nb //= 2
 
@@ -178,7 +181,7 @@ def cr_factor_lanes(L: jax.Array, D: jax.Array, U: jax.Array
 def cr_solve_lanes(fac: CRLanesFactors, b: jax.Array) -> jax.Array:
     """Solve for RHS ``b`` of shape (NB, n, B)."""
     nb0, n, B = b.shape
-    m = fac.levels[0].n_blocks if fac.levels else 1
+    m = 2 * fac.levels[0].Dinv_odd.shape[0] if fac.levels else 1
     if m > nb0:
         b = jnp.concatenate(
             [b, jnp.zeros((m - nb0, n, B), b.dtype)], axis=0)
@@ -200,7 +203,8 @@ def cr_solve_lanes(fac: CRLanesFactors, b: jax.Array) -> jax.Array:
         x_right = jnp.concatenate([x_even[1:], zx], axis=0)
         rhs_o = bo - mv_lanes(lv.L_odd, x_even) - mv_lanes(lv.U_odd, x_right)
         x_odd = mv_lanes(lv.Dinv_odd, rhs_o)
-        x = jnp.stack([x_even, x_odd], axis=1).reshape(lv.n_blocks, n, B)
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(
+            2 * lv.Dinv_odd.shape[0], n, B)
 
     return x[:nb0]
 
@@ -292,9 +296,10 @@ def block_jacobian_lanes(rhs_lanes, y: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps",
-                                   "method", "linsolve_dtype"))
+                                   "method", "linsolve_dtype", "jac_reuse"))
 def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
-                      max_steps, h0, method, linsolve_dtype):
+                      max_steps, h0, method, linsolve_dtype,
+                      jac_reuse=False):
     dtype = Co.dtype
     B = params.k.shape[0]
     Nr = int(round(R / dr))
@@ -339,6 +344,18 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
 
     ntol = 0.03
     newton_iters = 6
+
+    # Jacobian/factorization reuse (TRBDF2 only; sound because for a
+    # Newton method staleness affects only convergence rate, never the
+    # converged solution — the classic QNDF/LSODA economics the
+    # reference's solver gets from SciML).  The W factorization is kept
+    # while every lane's h stays within STRAY of the h it was built at;
+    # a deadband controller (grow h only on clearly-small error) keeps
+    # h frozen most steps so both J and the factorization survive.
+    reuse = bool(jac_reuse) and method == "trbdf2"
+    JAC_MAX_AGE = 20
+    STRAY = 0.3
+    GROW_ERR = 0.09  # continuous controller would have proposed >= 2x
 
     def snapshot(y, p: Params):
         """(10, Nr+1, B) full profile + (8, B) membrane state."""
@@ -393,7 +410,11 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             return y, dn <= ntol
 
         def body(c):
-            t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = c
+            if reuse:
+                (t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed,
+                 Lj, Dj, Uj, fac, h_fac, j_age, want_refresh) = c
+            else:
+                t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = c
             active = t < t1 - eps
             # step size used this iteration: truncated to the leg end for
             # active lanes, a harmless dummy for finished lanes (their
@@ -403,14 +424,41 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                           jnp.asarray(1.0, dtype))
 
             f_n = f(y)
-            Lj, Dj, Uj = block_jacobian_lanes(f, y)
+            if reuse:
+                need_refresh = jnp.logical_or(want_refresh,
+                                              j_age >= JAC_MAX_AGE)
+
+                def _refresh(_):
+                    L2, D2, U2 = block_jacobian_lanes(f, y)
+                    return (L2.astype(ls_dtype), D2.astype(ls_dtype),
+                            U2.astype(ls_dtype), jnp.int32(0))
+
+                Lj, Dj, Uj, j_age = jax.lax.cond(
+                    need_refresh, _refresh,
+                    lambda _: (Lj, Dj, Uj, j_age), None)
+                stray = jnp.abs(h / h_fac - 1.0) > STRAY
+                need_refactor = jnp.logical_or(
+                    need_refresh,
+                    jnp.any(jnp.logical_and(stray, active)))
+
+                def _refactor(_):
+                    hb_ = h[None, None, None, :].astype(ls_dtype)
+                    return factor(-A * hb_ * Lj, eye_l - A * hb_ * Dj,
+                                  -A * hb_ * Uj), h
+
+                fac, h_fac = jax.lax.cond(
+                    need_refactor, _refactor,
+                    lambda _: (fac, h_fac), None)
+            else:
+                Lj, Dj, Uj = block_jacobian_lanes(f, y)
             hb = h[None, None, None, :].astype(ls_dtype)
             hd = h[None, None, :]
 
             if method == "trbdf2":
-                fac = factor(-A * hb * Lj,
-                             eye_l - A * hb * Dj.astype(ls_dtype),
-                             -A * hb * Uj)
+                if not reuse:
+                    fac = factor(-A * hb * Lj,
+                                 eye_l - A * hb * Dj.astype(ls_dtype),
+                                 -A * hb * Uj)
                 rc1 = y + A * hd * f_n
                 y_g, ok1 = newton(fac, y + GAMMA * hd * f_n, rc1, hd)
                 f_g = (y_g - rc1) / (A * hd)
@@ -445,7 +493,15 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             t_new = jnp.where(accept, t + h, t)
             y_new = jnp.where(accept[None, None, :], y_1, y)
 
-            fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
+            if reuse:
+                # deadband: grow only on clearly-small error (by the
+                # factor the continuous controller would have given),
+                # keep h otherwise — so the factorization stays valid
+                fac_ok = jnp.where(
+                    errn < GROW_ERR,
+                    jnp.clip(0.9 * errn ** (-1.0 / 3.0), 2.0, 4.0), 1.0)
+            else:
+                fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
             fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** (-1.0 / 3.0),
                                              0.1, 0.5), 0.3)
             h_prop = h * jnp.where(accept, fac_ok, fac_rej)
@@ -488,11 +544,18 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
 
             nacc = nacc + accept.astype(jnp.int32)
             nrej = nrej + jnp.logical_and(active, ~accept).astype(jnp.int32)
+            if reuse:
+                # a Newton failure invalidates the (possibly stale) J:
+                # refresh before the retry; accepted steps age it
+                want_new = jnp.any(jnp.logical_and(active, ~ok))
+                return (t_new, h_new, y_new, nts, out_C, out_m, nacc,
+                        nrej, failed, Lj, Dj, Uj, fac, h_fac, j_age + 1,
+                        want_new)
             return (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
                     failed)
 
         def cond(c):
-            t, _, _, _, _, _, nacc, nrej, failed = c
+            t, _, _, _, _, _, nacc, nrej, failed = c[:9]
             lane_active = jnp.logical_and(
                 t < t1 - eps,
                 jnp.logical_and(~failed, nacc + nrej < max_steps))
@@ -500,9 +563,19 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
 
         t, h, y, nts, out_C, out_m, nacc, nrej, failed = carry_in
         t = jnp.maximum(t, t0)
-        out = jax.lax.while_loop(cond, body, (t, h, y, nts, out_C, out_m,
-                                              nacc, nrej, failed))
-        return out
+        init = (t, h, y, nts, out_C, out_m, nacc, nrej, failed)
+        if reuse:
+            # fresh J + factorization at leg entry (params changed)
+            L0, D0, U0 = block_jacobian_lanes(f, y)
+            L0, D0, U0 = (L0.astype(ls_dtype), D0.astype(ls_dtype),
+                          U0.astype(ls_dtype))
+            hb0 = h[None, None, None, :].astype(ls_dtype)
+            fac0 = factor(-A * hb0 * L0, eye_l - A * hb0 * D0,
+                          -A * hb0 * U0)
+            init = init + (L0, D0, U0, fac0, h, jnp.int32(0),
+                           jnp.array(False))
+        out = jax.lax.while_loop(cond, body, init)
+        return out[:9]
 
     carry = (jnp.zeros((B,), dtype), jnp.full((B,), h0, dtype), y0,
              jnp.ones((B,), jnp.int32), out_C, out_m,
@@ -537,15 +610,22 @@ def solve_stiff_batch(
     return_stats: bool = False,
     method: str = "trbdf2",
     linsolve_dtype=None,
+    jac_reuse: Optional[bool] = None,
 ):
     """Batched stiff MoL solve over a parameter ensemble.
 
     Drop-in throughput replacement for ``vmap(solve_stiff)``: ``params``
     carries a leading batch axis (B,), ``Co`` is (5,) shared or (B, 5)
     per-lane, and the returned :class:`Solution` / :class:`StiffStats`
-    have a leading batch axis.  Same adaptive trajectories as the
-    vmapped path — the difference is the physical layout (lanes minor).
+    have a leading batch axis.  With ``jac_reuse=False`` the adaptive
+    trajectories match the vmapped path exactly (same controller
+    arithmetic); ``jac_reuse=True`` (default for TRBDF2) amortizes the
+    Jacobian and its factorization across steps with a deadband step
+    controller — solutions agree to the integration tolerance, not
+    bit-for-bit.
     """
+    if jac_reuse is None:
+        jac_reuse = method == "trbdf2"
     Co = jnp.asarray(Co)
     params = Params(D=params.D.astype(Co.dtype), k=params.k.astype(Co.dtype))
     if params.k.ndim != 2:
@@ -559,7 +639,8 @@ def solve_stiff_batch(
     ls = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
     sol, stats = _solve_batch_impl(system, Co, params, legs, float(R),
                                    float(dr), int(Nts), rtol, atol,
-                                   int(max_steps), float(h0), method, ls)
+                                   int(max_steps), float(h0), method, ls,
+                                   jac_reuse=bool(jac_reuse))
     if return_stats:
         return sol, stats
     return sol

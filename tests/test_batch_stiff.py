@@ -119,8 +119,11 @@ class TestBatchSolve:
         pb = _param_batch(4, spread=0.25)
         kw = dict(dr=0.5, tf=2.0, Nts=4, rtol=1e-5, atol=1e-8,
                   method=method)
+        # jac_reuse=False: this test pins the layout transformation
+        # (lane-minor vs vmap) to BIT-level parity; the reuse path is
+        # tolerance-level by design (test_jac_reuse_accuracy)
         solb, statb = solve_stiff_batch(system, Co, pb, return_stats=True,
-                                        **kw)
+                                        jac_reuse=False, **kw)
         solv, statv = jax.vmap(lambda p: g.solve_stiff(
             system, Co, p, return_stats=True, **kw))(pb)
         np.testing.assert_allclose(np.asarray(solb.C), np.asarray(solv.C),
@@ -137,7 +140,7 @@ class TestBatchSolve:
         Cob = jnp.asarray(np.stack([Co, Co * 0.5]))
         pb = _param_batch(2, spread=0.0)
         sol = solve_stiff_batch(system, Cob, pb, dr=1.0, tf=0.5, Nts=2,
-                                rtol=1e-4, atol=1e-7)
+                                rtol=1e-4, atol=1e-7, jac_reuse=False)
         ref0 = g.solve_stiff(system, jnp.asarray(Co), Params.unpack(
             pb.pack()[0]), dr=1.0, tf=0.5, Nts=2, rtol=1e-4, atol=1e-7)
         ref1 = g.solve_stiff(system, jnp.asarray(Co * 0.5), Params.unpack(
@@ -155,7 +158,7 @@ class TestBatchSolve:
         pb = _param_batch(2, spread=0.1)
         kw = dict(dr=1.0, tf=2.0, Nts=4, rtol=1e-4, atol=1e-7,
                   t_prechase=1.0)
-        solb = solve_stiff_batch(system, Co, pb, **kw)
+        solb = solve_stiff_batch(system, Co, pb, jac_reuse=False, **kw)
         solv = jax.vmap(lambda p: g.solve_stiff(system, Co, p, **kw))(pb)
         np.testing.assert_allclose(np.asarray(solb.C), np.asarray(solv.C),
                                    rtol=1e-9, atol=1e-9)
@@ -175,3 +178,23 @@ class TestBatchSolve:
         assert ok[0] and ok[2]
         assert np.isfinite(np.asarray(sol.C[0])).all()
         assert np.isfinite(np.asarray(sol.C[2])).all()
+
+
+    def test_jac_reuse_accuracy(self):
+        """The TRBDF2 Jacobian/factorization-reuse path (default) must
+        agree with the exact-refresh path to integration tolerance and
+        lose no lanes.  Staleness only affects Newton convergence, so
+        both converge to the same step solutions; trajectories differ
+        (deadband controller) but solutions agree to ~rtol."""
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(6, spread=0.25)
+        kw = dict(dr=0.5, tf=2.0, Nts=2, rtol=1e-5, atol=1e-8,
+                  method="trbdf2", return_stats=True)
+        ref, sr = solve_stiff_batch(system, Co, pb, jac_reuse=False, **kw)
+        new, sn = solve_stiff_batch(system, Co, pb, jac_reuse=True, **kw)
+        assert not np.asarray(sn.failed).any()
+        Cr = np.asarray(ref.C[:, -1])
+        Cn = np.asarray(new.C[:, -1])
+        err = np.max(np.abs(Cn - Cr) / (np.abs(Cr) + 1e-6))
+        assert err < 5e-4, err
