@@ -619,13 +619,19 @@ def solve_stiff_batch(
     per-lane, and the returned :class:`Solution` / :class:`StiffStats`
     have a leading batch axis.  With ``jac_reuse=False`` the adaptive
     trajectories match the vmapped path exactly (same controller
-    arithmetic); ``jac_reuse=True`` (default for TRBDF2) amortizes the
+    arithmetic); ``jac_reuse=True`` (default for float64 TRBDF2) amortizes the
     Jacobian and its factorization across steps with a deadband step
     controller — solutions agree to the integration tolerance, not
     bit-for-bit.
     """
     if jac_reuse is None:
-        jac_reuse = method == "trbdf2"
+        # net win only when Jacobian JVPs are expensive: measured on
+        # v5e at B=256, dr=0.2: f64+f32-linsolve rtol 1e-6 goes
+        # 29 -> 109 solves/s, but f32 rtol 1e-4 REGRESSES 1284 -> 761
+        # (cheap JVPs; the deadband controller's ~50% extra steps
+        # dominate), so reuse defaults on only for float64 states
+        jac_reuse = (method == "trbdf2"
+                     and jnp.asarray(Co).dtype == jnp.float64)
     Co = jnp.asarray(Co)
     params = Params(D=params.D.astype(Co.dtype), k=params.k.astype(Co.dtype))
     if params.k.ndim != 2:
