@@ -198,3 +198,25 @@ class TestBatchSolve:
         Cn = np.asarray(new.C[:, -1])
         err = np.max(np.abs(Cn - Cr) / (np.abs(Cr) + 1e-6))
         assert err < 5e-4, err
+
+    def test_bf16_linsolve_trbdf2(self):
+        """bfloat16 W-factors are valid for TRBDF2: the factorization
+        only preconditions Newton (the iteration converges to the exact
+        step solution from the f32 residual), so precision costs a few
+        extra Newton/step rejections, not accuracy.  NOT valid for
+        Rosenbrock23, whose stage solves enter the solution directly
+        (see ops/trbdf2.py mixed-precision notes)."""
+        system = g.base_system()
+        Co = g.default_co().astype(jnp.float32)
+        pb = _param_batch(6, spread=0.2)
+        pb = Params(D=pb.D.astype(jnp.float32), k=pb.k.astype(jnp.float32))
+        kw = dict(dr=0.4, tf=2.0, Nts=2, rtol=1e-4, atol=1e-7,
+                  method="trbdf2", return_stats=True)
+        ref, _ = solve_stiff_batch(system, Co, pb, **kw)
+        b16, sb = solve_stiff_batch(system, Co, pb,
+                                    linsolve_dtype=jnp.bfloat16, **kw)
+        assert not np.asarray(sb.failed).any()
+        Cr = np.asarray(ref.C[:, -1], np.float64)
+        Cb = np.asarray(b16.C[:, -1], np.float64)
+        err = np.max(np.abs(Cb - Cr) / (np.abs(Cr) + 1e-6))
+        assert err < 5e-4, err
