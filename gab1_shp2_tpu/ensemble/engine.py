@@ -77,6 +77,17 @@ def run_ensemble(
         pb = Params.unpack(jnp.asarray(ensemble))
     N = pb.k.shape[0]
 
+    # TPU runtime watchdog guard: the axon runtime kills single device
+    # executions over ~60 s.  Dense-output runs (large Nts) rewrite the
+    # whole (Nts+1, 10, Nr+1, B) snapshot array inside the step loop,
+    # so per-chunk wall grows ~linearly with Nts*B; at Nts=120, B=256
+    # a pulse-chase ensemble chunk was measured over the limit.  Cap
+    # the chunk so dispatches stay comfortably under it.
+    if (solver == "stiff" and Nts >= 50 and N > 128
+            and jax.devices()[0].platform == "tpu"
+            and (chunk is None or chunk > 128)):
+        chunk = 128
+
     if solver == "stiff":
         # batch-aware lane-minor integrator (ops/batch_stiff.py): one
         # device program per chunk instead of a vmapped per-lane solve
