@@ -53,6 +53,7 @@ def run_ensemble(
     method: str = "trbdf2",
     linsolve_dtype=None,
     max_steps: int = 20_000,
+    jac_reuse=None,
 ):
     """Solve the PDE for every ensemble member.
 
@@ -96,6 +97,7 @@ def run_ensemble(
                 system, Co, p, R=R, dr=dr, tf=tf, Nts=Nts, rtol=rtol,
                 atol=atol, t_prechase=t_prechase, method=method,
                 linsolve_dtype=linsolve_dtype, max_steps=max_steps,
+                jac_reuse=jac_reuse,
                 return_stats=True)
             B = p.k.shape[0]
             # restore the vmapped-Solution contract (batched t and r)

@@ -35,13 +35,30 @@ class TestRunEnsemble:
 
     def test_chunked_matches_unchunked(self):
         batch = _small_batch()
+        # jac_reuse=False: refresh/refactor decisions in the reuse path
+        # are collective over the chunk, so bitwise chunk-independence
+        # only holds for the exact-refresh path; the default (reuse)
+        # path is chunk-independent to integration tolerance only
+        kw = dict(solver="stiff", extract=lambda s: s.PG1Stot[-1],
+                  rtol=1e-4, atol=1e-7, jac_reuse=False, **FAST)
+        a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch, chunk=2,
+                              **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+
+    def test_chunked_default_path_tolerance_level(self):
+        """The default (jac_reuse) path: chunking may change collective
+        refresh decisions, so agreement is tolerance-level."""
+        batch = _small_batch()
         kw = dict(solver="stiff", extract=lambda s: s.PG1Stot[-1],
                   rtol=1e-4, atol=1e-7, **FAST)
         a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
         b, okb = run_ensemble(base_system(), default_co(), batch, chunk=2,
                               **kw)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-12)
+                                   rtol=2e-3)
         np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
 
     def test_explicit_solver_path(self):
