@@ -29,6 +29,16 @@ def _ens_profiles(system, Co, ens, kw):
     return q, n_ok
 
 
+def _save_profiles(path, r, **qs):
+    """Median/68%-CI profile data behind each comparison figure."""
+    hdr = ["r"]
+    cols = [np.asarray(r)]
+    for name, q in qs.items():
+        hdr += [f"{name}_lo68", f"{name}_median", f"{name}_hi68"]
+        cols += [np.asarray(q[0]), np.asarray(q[1]), np.asarray(q[2])]
+    common.save_csv(path, hdr, np.stack(cols, axis=1).tolist())
+
+
 def main(argv=None):
     ap = common.default_argparser(__doc__)
     ap.add_argument("--variant", choices=("hela", "rect", "memb_sfk",
@@ -55,6 +65,8 @@ def main(argv=None):
             "GAB1-SHP2 at tf: base vs HeLa abundances",
             bands={"base 68%": (q_b[0], q_b[2]),
                    "HeLa 68%": (q_h[0], q_h[2])})
+        _save_profiles(f"{out}/hela_vs_base_PG1Stot.csv", r,
+                       base=q_b, hela=q_h)
         # center:surface ratio comparison with a native JZS Bayes
         # factor (the reference calls R's BayesFactor via RCall;
         # run_base_model_HeLa.jl:295-318)
@@ -71,8 +83,11 @@ def main(argv=None):
         from gab1_shp2_tpu.utils.stats import hedges_g, jzs_ttest_bf10
 
         bf = jzs_ttest_bf10(groups["base"], groups["hela"])
+        gg = hedges_g(groups["base"], groups["hela"])
         print(f"JZS Bayes factor (base vs HeLa cs-ratio): BF10 = {bf:.3g}, "
-              f"Hedges g = {hedges_g(groups['base'], groups['hela']):.3f}")
+              f"Hedges g = {gg:.3f}")
+        common.save_csv(f"{out}/hela_cs_ratio_bf.csv",
+                        ["bf10", "hedges_g"], [[bf, gg]])
 
     elif args.variant == "rect":
         # run_base_model_rect.jl:81-89
@@ -84,6 +99,8 @@ def main(argv=None):
             "r (um)", "PG1Stot", "GAB1-SHP2 at tf: geometry comparison",
             bands={"sph 68%": (q_s[0], q_s[2]),
                    "rect 68%": (q_r[0], q_r[2])})
+        _save_profiles(f"{out}/rect_vs_sphere_PG1Stot.csv", r,
+                       sphere=q_s, rect=q_r)
 
     elif args.variant == "memb_sfk":
         # run_base_model_membrane-SFKs.jl:88-89
@@ -96,6 +113,8 @@ def main(argv=None):
             "GAB1-SHP2 at tf: SFK confinement comparison",
             bands={"base 68%": (q_b[0], q_b[2]),
                    "memb 68%": (q_m[0], q_m[2])})
+        _save_profiles(f"{out}/membSFK_vs_base_PG1Stot.csv", r,
+                       base=q_b, memb_sfk=q_m)
 
     else:
         # hi-EGFR-binding sweep (run_base_model_hi-EGFR-binding.jl:85-150)
