@@ -15,6 +15,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# CPU-backend tests don't benefit from the persistent compile cache
+# (workloads/common.py enables it for the TPU tunnel), and a zstd
+# cache write once segfaulted the suite while a TPU artifact queue was
+# writing the same .jax_cache concurrently — keep tests out of it.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
