@@ -57,9 +57,21 @@ def default_argparser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--solver", choices=("stiff", "explicit"),
                     default="stiff")
     ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--linsolve", choices=("none", "f32", "bf16"),
+                    default="none",
+                    help="mixed-precision W-factors for the stiff "
+                         "solver (f32/bf16 are exact for TRBDF2's "
+                         "Newton iteration and avoid emulated-f64 "
+                         "linear algebra on TPU)")
     ap.add_argument("--outdir", default="images")
     ap.add_argument("--seed", type=int, default=0)
     return ap
+
+
+def linsolve_dtype(args):
+    """Map the --linsolve flag to a dtype (or None)."""
+    return {"none": None, "f32": jnp.float32,
+            "bf16": jnp.bfloat16}[args.linsolve]
 
 
 def get_ensemble(n: int, seed: int = 0) -> np.ndarray:

@@ -46,6 +46,7 @@ def main(argv=None):
     pe, ok = run_ensemble(system, Co, ens, extract=lambda s: s.pE,
                           solver=args.solver, dr=args.dr, tf=tf,
                           Nts=args.nts, rtol=args.rtol, chunk=args.chunk,
+                          linsolve_dtype=common.linsolve_dtype(args),
                           t_prechase=args.t_prechase)
     q = np.asarray(masked_quantiles(pe, ok))
     t = np.linspace(0, tf, args.nts + 1)
