@@ -345,17 +345,19 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
     ntol = 0.03
     newton_iters = 6
 
-    # Jacobian/factorization reuse (TRBDF2 only; sound because for a
-    # Newton method staleness affects only convergence rate, never the
-    # converged solution — the classic QNDF/LSODA economics the
-    # reference's solver gets from SciML).  The W factorization is kept
-    # while every lane's h stays within STRAY of the h it was built at;
-    # a deadband controller (grow h only on clearly-small error) keeps
-    # h frozen most steps so both J and the factorization survive.
+    # Jacobian reuse (TRBDF2 only; sound because for a Newton method
+    # staleness affects only convergence rate, never the converged
+    # solution — the classic QNDF/LSODA economics the reference's
+    # solver gets from SciML).  Only the 38-JVP band refresh is
+    # amortized (age/Newton-failure/leg-change triggered); the W
+    # factorization is rebuilt every step from the cached bands in
+    # ls_dtype — it is cheap next to the JVPs (which run in the state
+    # dtype; emulated-f64 on TPU), and keeping it fresh lets the
+    # standard continuous step controller run unchanged (a deadband
+    # variant that also preserved the factorization cost ~50% more
+    # steps and lost to this scheme at every dtype).
     reuse = bool(jac_reuse) and method == "trbdf2"
     JAC_MAX_AGE = 20
-    STRAY = 0.3
-    GROW_ERR = 0.09  # continuous controller would have proposed >= 2x
 
     def snapshot(y, p: Params):
         """(10, Nr+1, B) full profile + (8, B) membrane state."""
@@ -412,7 +414,7 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         def body(c):
             if reuse:
                 (t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed,
-                 Lj, Dj, Uj, fac, h_fac, j_age, want_refresh) = c
+                 Lj, Dj, Uj, j_age, want_refresh) = c
             else:
                 t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = c
             active = t < t1 - eps
@@ -436,29 +438,15 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 Lj, Dj, Uj, j_age = jax.lax.cond(
                     need_refresh, _refresh,
                     lambda _: (Lj, Dj, Uj, j_age), None)
-                stray = jnp.abs(h / h_fac - 1.0) > STRAY
-                need_refactor = jnp.logical_or(
-                    need_refresh,
-                    jnp.any(jnp.logical_and(stray, active)))
-
-                def _refactor(_):
-                    hb_ = h[None, None, None, :].astype(ls_dtype)
-                    return factor(-A * hb_ * Lj, eye_l - A * hb_ * Dj,
-                                  -A * hb_ * Uj), h
-
-                fac, h_fac = jax.lax.cond(
-                    need_refactor, _refactor,
-                    lambda _: (fac, h_fac), None)
             else:
                 Lj, Dj, Uj = block_jacobian_lanes(f, y)
             hb = h[None, None, None, :].astype(ls_dtype)
             hd = h[None, None, :]
 
             if method == "trbdf2":
-                if not reuse:
-                    fac = factor(-A * hb * Lj,
-                                 eye_l - A * hb * Dj.astype(ls_dtype),
-                                 -A * hb * Uj)
+                fac = factor(-A * hb * Lj,
+                             eye_l - A * hb * Dj.astype(ls_dtype),
+                             -A * hb * Uj)
                 rc1 = y + A * hd * f_n
                 y_g, ok1 = newton(fac, y + GAMMA * hd * f_n, rc1, hd)
                 f_g = (y_g - rc1) / (A * hd)
@@ -493,15 +481,7 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             t_new = jnp.where(accept, t + h, t)
             y_new = jnp.where(accept[None, None, :], y_1, y)
 
-            if reuse:
-                # deadband: grow only on clearly-small error (by the
-                # factor the continuous controller would have given),
-                # keep h otherwise — so the factorization stays valid
-                fac_ok = jnp.where(
-                    errn < GROW_ERR,
-                    jnp.clip(0.9 * errn ** (-1.0 / 3.0), 2.0, 4.0), 1.0)
-            else:
-                fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
+            fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
             fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** (-1.0 / 3.0),
                                              0.1, 0.5), 0.3)
             h_prop = h * jnp.where(accept, fac_ok, fac_rej)
@@ -549,8 +529,7 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 # refresh before the retry; accepted steps age it
                 want_new = jnp.any(jnp.logical_and(active, ~ok))
                 return (t_new, h_new, y_new, nts, out_C, out_m, nacc,
-                        nrej, failed, Lj, Dj, Uj, fac, h_fac, j_age + 1,
-                        want_new)
+                        nrej, failed, Lj, Dj, Uj, j_age + 1, want_new)
             return (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
                     failed)
 
@@ -565,15 +544,11 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         t = jnp.maximum(t, t0)
         init = (t, h, y, nts, out_C, out_m, nacc, nrej, failed)
         if reuse:
-            # fresh J + factorization at leg entry (params changed)
+            # fresh J at leg entry (params changed)
             L0, D0, U0 = block_jacobian_lanes(f, y)
             L0, D0, U0 = (L0.astype(ls_dtype), D0.astype(ls_dtype),
                           U0.astype(ls_dtype))
-            hb0 = h[None, None, None, :].astype(ls_dtype)
-            fac0 = factor(-A * hb0 * L0, eye_l - A * hb0 * D0,
-                          -A * hb0 * U0)
-            init = init + (L0, D0, U0, fac0, h, jnp.int32(0),
-                           jnp.array(False))
+            init = init + (L0, D0, U0, jnp.int32(0), jnp.array(False))
         out = jax.lax.while_loop(cond, body, init)
         return out[:9]
 
@@ -627,9 +602,10 @@ def solve_stiff_batch(
     if jac_reuse is None:
         # net win only when Jacobian JVPs are expensive: measured on
         # v5e at B=256, dr=0.2: f64+f32-linsolve rtol 1e-6 goes
-        # 29 -> 109 solves/s, but f32 rtol 1e-4 REGRESSES 1284 -> 761
-        # (cheap JVPs; the deadband controller's ~50% extra steps
-        # dominate), so reuse defaults on only for float64 states
+        # 29 -> 157 solves/s (5.4x, same step count), but f32 rtol
+        # 1e-4 is ~10% slower with reuse (cheap JVPs; the refresh
+        # cond's overhead outweighs them), so reuse defaults on only
+        # for float64 states
         jac_reuse = (method == "trbdf2"
                      and jnp.asarray(Co).dtype == jnp.float64)
     Co = jnp.asarray(Co)
