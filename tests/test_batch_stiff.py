@@ -220,3 +220,28 @@ class TestBatchSolve:
         Cb = np.asarray(b16.C[:, -1], np.float64)
         err = np.max(np.abs(Cb - Cr) / (np.abs(Cr) + 1e-6))
         assert err < 5e-4, err
+
+    def test_fast_jacobian_matches_colored_jvps(self):
+        """fast_block_jacobian_lanes (analytic stencil + pointwise
+        reaction JVPs + boundary jacfwd) must equal the 38-colored-JVP
+        Jacobian to fp roundoff for every system variant."""
+        import gab1_shp2_tpu as g2
+        from gab1_shp2_tpu.ops import batch_stiff as bs
+
+        rng = np.random.default_rng(0)
+        p0 = np.asarray(g2.default_params().pack())
+        dr, R, B = 0.5, 10.0, 3
+        Nr = int(round(R / dr))
+        r = jnp.arange(Nr + 1) * dr
+        for system in (g2.base_system(), g2.memb_sfk_system(),
+                       g2.rect_system()):
+            pb = Params.unpack(jnp.asarray(
+                p0[None, :] * np.exp(rng.normal(0, 0.3, (B, 24)))))
+            rhs_fn, _ = bs.make_mol_rhs_lanes(system, R, dr)
+            y = jnp.asarray(np.abs(rng.normal(2.0, 1.0, (Nr, 10, B))))
+            ref = bs.block_jacobian_lanes(lambda yy: rhs_fn(yy, pb), y)
+            fast = bs.fast_block_jacobian_lanes(system, y, pb, r, dr)
+            for a, b in zip(ref, fast):
+                rel = float(jnp.max(jnp.abs(a - b))) / (
+                    float(jnp.max(jnp.abs(a))) + 1e-30)
+                assert rel < 1e-12, rel
