@@ -42,7 +42,11 @@ from gab1_shp2_tpu.models.params import Params
 from gab1_shp2_tpu.models.species import CYTO, N_CYTO, N_MEMB
 from gab1_shp2_tpu.models.system import Geometry, ReactionDiffusionSystem
 from gab1_shp2_tpu.ops import rhs as rhs_mod
-from gab1_shp2_tpu.ops.jacobian import BLK, _color_seeds
+from gab1_shp2_tpu.ops.jacobian import (
+    BLK,
+    _color_seeds,
+    fast_block_jacobian_lanes,
+)
 from gab1_shp2_tpu.ops.rhs import initial_state, kdict
 from gab1_shp2_tpu.ops.solution import Solution
 from gab1_shp2_tpu.ops.trbdf2 import (
@@ -287,126 +291,6 @@ def block_jacobian_lanes(rhs_lanes, y: jax.Array):
     row_m1 = (jidx == NB - 1).astype(y.dtype)[:, None, None, None]
     upper = upper * (1.0 - row_m2 * col_memb) + row_m2 * up_edge
     diag = diag * (1.0 - row_m1 * col_memb) + row_m1 * di_edge
-    return lower, diag, upper
-
-
-def fast_block_jacobian_lanes(system, y: jax.Array, params: Params,
-                              r: jax.Array, dr: float):
-    """Exact block-tridiagonal Jacobian, structure-aware.
-
-    Mathematically identical to :func:`block_jacobian_lanes` (the
-    38-colored-JVP route) but ~4x cheaper: the diffusion stencil's
-    off-diagonal blocks are analytic (diagonal matrices scaled by
-    ``d_eff`` and the metric factors), so only the *pointwise* pieces
-    are differentiated —
-
-      * 10 JVPs of ``bulk_rates`` (reaction terms only, no stencil),
-      * per-lane ``jacfwd`` of the 10-output ``bc_closure`` and the
-        8-output ``memb_rates`` at the boundary (18 tangents on (B,)
-        points, negligible),
-
-    versus 38 JVPs of the full RHS.  The win is largest for float64
-    states where JVPs run in emulated f64 on TPU.
-    Cross-validated against the colored-JVP Jacobian to fp roundoff
-    (tests/test_batch_stiff.py).
-    """
-    NB, _, B = y.shape
-    M = NB - 1
-    dtype = y.dtype
-    k = kdict(params.k)                                   # (B,) scalars
-    d_eff = rhs_mod.effective_diffusivities(system, params)  # (B, 10)
-    C_int = jnp.moveaxis(y[:-1], 0, 1)                    # (10, M, B)
-    m_t = y[-1, :N_MEMB, :].T                             # (B, 8)
-    C_near_t = C_int[:, -1, :].T                          # (B, 10)
-
-    # --- reaction Jacobian: 10 pointwise JVPs over (M, B) nodes
-    def rates_fn(C):
-        return rhs_mod.bulk_rates(system, C, k)
-
-    eye10 = jnp.eye(N_CYTO, dtype=dtype)
-
-    def jvp_s(e):
-        tangent = jnp.broadcast_to(e[:, None, None], C_int.shape)
-        return jax.jvp(rates_fn, (C_int,), (tangent,))[1]  # (10, M, B)
-
-    Jr = jax.vmap(jvp_s)(eye10)                           # (s_in,10,M,B)
-    Dreact = jnp.transpose(Jr, (2, 1, 0, 3))              # (M,10,10,B)
-
-    # --- boundary closures: one combined lane-batched function,
-    # JVP'd over 18 seeds.  H returns (C_R, dm) with C_R substituted
-    # into memb_rates, so its Jacobian delivers the TOTAL derivatives
-    # the assembly needs (the dm rows already contain the
-    # Jm_cr @ Jcr_* chain-rule products).  Evaluating H on full (B, .)
-    # arrays with the seed axis vmapped keeps this a handful of fused
-    # kernels — a per-lane vmap(jacfwd) here generated hundreds of
-    # tiny (B,)-shaped kernels and dominated the f32 step cost.
-    def H(cn, mm):
-        C_R = rhs_mod.bc_closure(system, cn, mm, k, d_eff, dr)
-        dm = rhs_mod.memb_rates(system, mm, C_R, k)
-        return C_R, dm
-
-    n_seed = N_CYTO + N_MEMB
-    seeds = jnp.eye(n_seed, dtype=dtype)
-
-    def jvp_b(e):
-        t_cn = jnp.broadcast_to(e[None, :N_CYTO], C_near_t.shape)
-        t_m = jnp.broadcast_to(e[None, N_CYTO:], m_t.shape)
-        return jax.jvp(H, (C_near_t, m_t), (t_cn, t_m))[1]
-
-    Tcr, Tdm = jax.vmap(jvp_b)(seeds)     # (18,B,10), (18,B,8)
-    Jcr_cn = jnp.moveaxis(Tcr[:N_CYTO], 0, -1)      # (B,10,10)
-    Jcr_m = jnp.moveaxis(Tcr[N_CYTO:], 0, -1)       # (B,10,8)
-    dm_dcn_t = jnp.moveaxis(Tdm[:N_CYTO], 0, -1)    # (B,8,10)
-    dm_dm_t = jnp.moveaxis(Tdm[N_CYTO:], 0, -1)     # (B,8,8)
-
-    # --- stencil coefficients (laplacian(); basepdesolver.jl:151)
-    rj = r[1:-1].astype(dtype)                            # (M,)
-    inv2 = 1.0 / dr**2
-    if system.geometry is Geometry.SPHERICAL:
-        met = 1.0 / (rj * dr)
-    else:
-        met = jnp.zeros_like(rj)
-    c_m = inv2 - met                                      # coeff of u_{j-1}
-    c_p = inv2 + met                                      # coeff of u_{j+1}
-    de_l = d_eff.T                                        # (10, B)
-
-    eye_b = eye10[None, :, :, None]                       # (1,10,10,1)
-    # interior diagonal: reactions + stencil center
-    diag_int = Dreact + eye_b * (-2.0 * inv2) * de_l[None, :, None, :]
-    # node 0: the r=0 ghost copies node 0, folding c_m into the center
-    diag_int = diag_int.at[0].add(eye10[:, :, None]
-                                  * (c_m[0] * de_l)[:, None, :])
-    # node M-1: u_{j+1} is the eliminated C_R(C_near=node M-1, m)
-    Jcr_cn_l = jnp.moveaxis(Jcr_cn, 0, -1)                # (10,10,B)
-    diag_int = diag_int.at[M - 1].add(
-        (c_p[M - 1] * de_l)[:, None, :] * Jcr_cn_l)
-
-    # membrane block (padded 8 -> 10)
-    pad_r = jnp.zeros((BLK - N_MEMB, BLK, B), dtype)
-    Jcr_m_l = jnp.moveaxis(Jcr_m, 0, -1)                  # (10,8,B)
-    dm_dm = jnp.moveaxis(dm_dm_t, 0, -1)                  # (8,8,B)
-    diag_memb = jnp.concatenate(
-        [jnp.concatenate(
-            [dm_dm, jnp.zeros((N_MEMB, BLK - N_MEMB, B), dtype)], axis=1),
-         pad_r], axis=0)
-    diag = jnp.concatenate([diag_int, diag_memb[None]], axis=0)
-
-    # lower band: diag stencil blocks for j>=1; membrane row couples to
-    # the last interior node through C_R
-    low_int = eye_b * (c_m[:, None, None, None] * de_l[None, :, None, :])
-    low_int = low_int.at[0].set(0.0)
-    dm_dcn = jnp.moveaxis(dm_dcn_t, 0, -1)                # (8,10,B)
-    low_memb = jnp.concatenate([dm_dcn, pad_r], axis=0)
-    lower = jnp.concatenate([low_int, low_memb[None]], axis=0)
-
-    # upper band: diag stencil blocks for j<=M-2; node M-1 couples to
-    # the membrane block through C_R's m-dependence
-    up_int = eye_b * (c_p[:, None, None, None] * de_l[None, :, None, :])
-    up_last = (c_p[M - 1] * de_l)[:, None, :] * jnp.concatenate(
-        [Jcr_m_l, jnp.zeros((BLK, BLK - N_MEMB, B), dtype)], axis=1)
-    up_int = up_int.at[M - 1].set(up_last)
-    upper = jnp.concatenate(
-        [up_int, jnp.zeros((1, BLK, BLK, B), dtype)], axis=0)
     return lower, diag, upper
 
 

@@ -44,6 +44,7 @@ from gab1_shp2_tpu.ops.cyclic_reduction import cr_factor as bt_factor
 from gab1_shp2_tpu.ops.cyclic_reduction import cr_solve as bt_solve
 from gab1_shp2_tpu.ops.jacobian import (
     block_jacobian,
+    fast_block_jacobian_lanes,
     blocks_to_state,
     state_to_blocks,
 )
@@ -162,7 +163,12 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             h = jnp.minimum(h, t1 - t)
 
             f_n = f(y)
-            Lj, Dj, Uj = block_jacobian(f, y)
+            # structure-aware Jacobian (see ops/jacobian.py): the
+            # lane-minor builder with a unit lane axis; identical to
+            # block_jacobian(f, y) to fp roundoff but ~4x cheaper
+            p1 = Params(D=p.D[None], k=p.k[None])
+            Lj, Dj, Uj = (a[..., 0] for a in fast_block_jacobian_lanes(
+                system, y[..., None], p1, r, dr))
 
             if method == "trbdf2":
                 fac = factor(-A * h * Lj, eye - A * h * Dj.astype(ls_dtype),
