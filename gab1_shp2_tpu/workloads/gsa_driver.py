@@ -84,6 +84,7 @@ def main(argv=None):
         rows = [[names[i]] + list(M[i]) for i in range(len(names))]
         common.save_csv(f"{args.outdir}/{tag}_{label}.csv",
                         ["param"] + list(GSA_VAR_NAMES), rows)
+    save_heatmaps(args.outdir, tag, names, S1, ST)
     # quick ranking printout for the average-PG1Stot output
     order = np.argsort(-ST[:, 5])
     print(f"{tag}: top-8 parameters by ST on [pG1S2]_average:")
@@ -91,5 +92,55 @@ def main(argv=None):
         print(f"  {names[i]:9s} ST={ST[i,5]:.3f} S1={S1[i,5]:.3f}")
 
 
+def save_heatmaps(outdir, tag, names, S1, ST):
+    """S1/ST index heatmaps, the reference's figure form
+    (``GSA_diffs+kinetic-params_MoL.jl:118-156``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 0.28 * len(names) + 2),
+                             constrained_layout=True)
+    for ax, (label, M) in zip(axes, (("S1", S1), ("ST", ST))):
+        im = ax.imshow(np.asarray(M), aspect="auto", cmap="viridis",
+                       vmin=0.0, vmax=max(1e-6, float(np.nanmax(ST))))
+        ax.set_xticks(range(len(GSA_VAR_NAMES)))
+        ax.set_xticklabels(GSA_VAR_NAMES, rotation=45, ha="right",
+                           fontsize=7)
+        ax.set_yticks(range(len(names)))
+        ax.set_yticklabels(names, fontsize=7)
+        ax.set_title(f"{label} ({tag})", fontsize=9)
+        fig.colorbar(im, ax=ax, shrink=0.8)
+    fig.savefig(f"{outdir}/{tag}_heatmap.png", dpi=150)
+    plt.close(fig)
+
+
+def replot(outdir="results"):
+    """Regenerate heatmaps from committed artifact CSVs (no solves)."""
+    import csv
+    import glob
+    import os
+
+    for st_path in sorted(glob.glob(f"{outdir}/*_ST.csv")):
+        tag = os.path.basename(st_path)[:-7]
+        mats = {}
+        names = None
+        for label in ("S1", "ST"):
+            with open(f"{outdir}/{tag}_{label}.csv") as f:
+                rows = list(csv.reader(f))
+            names = [r[0] for r in rows[1:]]
+            mats[label] = np.asarray(
+                [[float(x) for x in r[1:]] for r in rows[1:]])
+        save_heatmaps(outdir, tag, names, mats["S1"], mats["ST"])
+        print(f"wrote {outdir}/{tag}_heatmap.png")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--replot" in sys.argv:
+        replot(sys.argv[sys.argv.index("--replot") + 1]
+               if len(sys.argv) > sys.argv.index("--replot") + 1
+               else "results")
+    else:
+        main()
