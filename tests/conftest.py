@@ -21,6 +21,19 @@ jax.config.update("jax_enable_x64", True)
 # writing the same .jax_cache concurrently — keep tests out of it.
 jax.config.update("jax_enable_compilation_cache", False)
 
+# The full suite JIT-compiles hundreds of XLA CPU executables; each
+# maps multiple code/data segments and the process crosses the default
+# vm.max_map_count=65530 around the 105th test, at which point an mmap
+# failure surfaces as a segfault inside LLVM compilation.  Raise the
+# limit best-effort (the test image runs as root).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1 << 20:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write(str(1 << 20))
+except OSError:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
