@@ -15,6 +15,7 @@ way the reference skips NaN samples (``get_param_posteriors.jl:155``,
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Callable, Optional
 
@@ -87,6 +88,15 @@ def run_ensemble(
     if (solver == "stiff" and Nts >= 50 and N > 128
             and jax.devices()[0].platform == "tpu"
             and (chunk is None or chunk > 128)):
+        if chunk is not None:
+            # jac_reuse refresh decisions are collective per chunk, so
+            # changing the chunking changes results at tolerance level —
+            # never silently override an explicit request.
+            warnings.warn(
+                f"run_ensemble: requested chunk={chunk} capped to 128 on "
+                f"TPU (Nts={Nts} dense-output dispatches risk the ~60 s "
+                "runtime watchdog); pass chunk<=128 to silence.",
+                stacklevel=2)
         chunk = 128
 
     if solver == "stiff":

@@ -164,9 +164,23 @@ def importance_reweight(log_lik_exact: np.ndarray,
     reported summary exact (up to Monte-Carlo error measured by ESS).
     """
     lw = log_lik_exact - log_lik_surrogate
-    lw = lw - np.max(lw[np.isfinite(lw)])
-    w = np.where(np.isfinite(lw), np.exp(lw), 0.0)
-    w = w / w.sum()
+    finite = np.isfinite(lw)
+    if not finite.any():
+        raise ValueError(
+            "importance_reweight: every draw's exact log-likelihood is "
+            "non-finite — the exact PDE re-evaluation failed for all "
+            "posterior samples (check solver failures / NaN lanes "
+            "upstream); cannot reweight.")
+    lw = lw - np.max(lw[finite])
+    w = np.where(finite, np.exp(lw), 0.0)
+    wsum = w.sum()
+    if not np.isfinite(wsum) or wsum <= 0.0:
+        raise ValueError(
+            "importance_reweight: importance weights sum to zero or "
+            "non-finite (all weights underflowed after max-shift); the "
+            "surrogate and exact likelihoods disagree too strongly to "
+            "reweight (ESS would be 0).")
+    w = w / wsum
     ess = float(1.0 / np.sum(w**2))
     return w, ess
 

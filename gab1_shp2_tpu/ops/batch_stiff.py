@@ -599,10 +599,12 @@ def solve_stiff_batch(
     per-lane, and the returned :class:`Solution` / :class:`StiffStats`
     have a leading batch axis.  With ``jac_reuse=False`` the adaptive
     trajectories match the vmapped path exactly (same controller
-    arithmetic); ``jac_reuse=True`` (default for float64 TRBDF2) amortizes the
-    Jacobian and its factorization across steps with a deadband step
-    controller — solutions agree to the integration tolerance, not
-    bit-for-bit.
+    arithmetic); ``jac_reuse=True`` (default for float64 TRBDF2)
+    amortizes only the 38-JVP Jacobian *band* refresh across steps
+    (triggered by band age, Newton failure, or a leg change) — the W
+    factorization is rebuilt from the cached bands every step and the
+    standard step controller is used — so solutions agree to the
+    integration tolerance, not bit-for-bit.
     """
     if jac_reuse is None:
         # net win only when Jacobian JVPs are expensive: measured on

@@ -40,7 +40,13 @@ def main(argv=None):
                          "corners hit the f32 error floor and zero out "
                          "(~60%% of samples) -- f64 with f32 linear "
                          "algebra is the default")
+    ap.add_argument("--replot", action="store_true",
+                    help="regenerate heatmap figures from committed "
+                         "artifact CSVs in --outdir (no solves)")
     args = ap.parse_args(argv)
+    if args.replot:
+        replot(args.outdir)
+        return
     import jax.numpy as jnp
 
     solver_kw = dict(max_steps=args.max_steps)
@@ -136,11 +142,4 @@ def replot(outdir="results"):
 
 
 if __name__ == "__main__":
-    import sys
-
-    if "--replot" in sys.argv:
-        replot(sys.argv[sys.argv.index("--replot") + 1]
-               if len(sys.argv) > sys.argv.index("--replot") + 1
-               else "results")
-    else:
-        main()
+    main()

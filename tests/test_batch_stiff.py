@@ -185,7 +185,8 @@ class TestBatchSolve:
         agree with the exact-refresh path to integration tolerance and
         lose no lanes.  Staleness only affects Newton convergence, so
         both converge to the same step solutions; trajectories differ
-        (deadband controller) but solutions agree to ~rtol."""
+        (Newton iteration counts shift step acceptance) but solutions
+        agree to ~rtol."""
         system = g.base_system()
         Co = g.default_co()
         pb = _param_batch(6, spread=0.25)
