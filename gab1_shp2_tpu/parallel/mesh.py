@@ -66,20 +66,14 @@ def run_sharded_batch(batch_fn: Callable, batched_args, mesh: Mesh,
     :func:`run_sharded` (vmap of a per-member fn), the per-device
     program keeps the lane-minor layout that fills the vector tiles.
     """
-    from jax.experimental.shard_map import shard_map
-
     in_sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
     args = jax.tree_util.tree_map(lambda a: jax.device_put(a, in_sh),
                                   batched_args)
     # the per-shard program is purely lane-local (no cross-lane ops), but
     # its while_loop carries start from replicated constants, which the
     # varying-manual-axes checker rejects — skip the check
-    try:
-        smap = shard_map(batch_fn, mesh=mesh, in_specs=P(ENSEMBLE_AXIS),
+    smap = jax.shard_map(batch_fn, mesh=mesh, in_specs=P(ENSEMBLE_AXIS),
                          out_specs=out_specs, check_vma=False)
-    except TypeError:  # older jax spells it check_rep
-        smap = shard_map(batch_fn, mesh=mesh, in_specs=P(ENSEMBLE_AXIS),
-                         out_specs=out_specs, check_rep=False)
     f = jax.jit(smap)
     return f(args)
 

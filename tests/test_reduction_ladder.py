@@ -1,16 +1,25 @@
 """Model-reduction ladder and analytic steady-state checks (reference
 idioms #3-4, SURVEY.md section 4; ports of
 ``MATLAB/finitediff_steady_state_BVP_comparison.m`` and
-``MATLAB/ssfindiffsol1.m``).
+``MATLAB/ssfindiffsol{4,2,1}.m``).
 
 At t = 5 min the full PDE is near steady state; its profiles must agree
 with independently computed steady-state solutions of reduced systems:
 
   1. the closed-form aSFK profile (amplitude included)
      ``C(r) = alpha sinh(mr)/(mr)`` with the Robin-flux amplitude,
-  2. the 1-ODE GAB1 reduction with algebraic SHP2 quadratic, solved by
-     least squares on a finite-difference grid with mass-balance
-     closures.
+  2. the 4-ODE GAB1/pGAB1/PG1S/SHP2 steady-state BVP with trapz
+     mass-balance closures (``ssfindiffsol4.m:48-91``),
+  3. the 2-ODE GAB1/SHP2 reduction with algebraic pGAB1 and G1S2
+     closures (``ssfindiffsol2.m:53-80``),
+  4. the 1-ODE GAB1 reduction with algebraic SHP2 quadratic
+     (``ssfindiffsol1.m:52-70``),
+
+each solved independently by scipy least squares on a
+finite-difference grid.  The rungs catch different coupling errors:
+the 4/2-ODE systems keep the pGAB1<->SHP2 binding kinetics (and agree
+with the PDE to <1%), while the 1-ODE rung also equilibrates that
+binding (profile-level agreement only).
 """
 
 import numpy as np
@@ -57,6 +66,135 @@ class TestAnalyticSFK:
         # t=5 min is close to (not exactly at) steady state; the
         # reference's own overlay shows the same few-percent residual
         np.testing.assert_allclose(asfk_pde, asfk_an, rtol=0.05)
+
+
+def _pde_lumped_profiles(sol, r):
+    """The full-PDE lumped profiles the MATLAB comparison overlays
+    (``finitediff_steady_state_BVP_comparison.m:91-97`` plotC),
+    interpolated onto the reduction grid."""
+    r_pde = np.asarray(sol.r)
+    return dict(
+        gab1=np.interp(r, r_pde, np.asarray(sol.cyto("GAB1")[-1]
+                                            + sol.cyto("G2G1")[-1])),
+        pg1tot=np.interp(r, r_pde, np.asarray(sol.PG1tot[-1])),
+        pg1s=np.interp(r, r_pde, np.asarray(sol.PG1Stot[-1])),
+        shp2=np.interp(r, r_pde, np.asarray(sol.cyto("SHP2")[-1])),
+    )
+
+
+class TestFourODEReduction:
+    def test_profiles_match_full_pde(self, full_solution):
+        """The 4-ODE GAB1/pGAB1/PG1S/SHP2 steady-state BVP
+        (``ssfindiffsol4.m:48-91``): central-difference interior
+        residuals, Neumann closures at both ends, and trapz mass
+        balances for total GAB1 and SHP2, with the analytic aSFK
+        profile as input.  Keeps the SHP2-binding kinetics the 1-ODE
+        rung equilibrates away, so agreement with the full PDE is
+        sub-percent."""
+        sol, co, p = full_solution
+        CoG1, CoS2, CoSFK = float(co[2]), float(co[3]), float(co[0])
+        kS2f, kS2r = float(p.kS2f), float(p.kS2r)
+        kG1p, kG1dp = float(p.kG1p), float(p.kG1dp)
+        D_G1, D_G1S2, D_S2 = float(p.Dg1), float(p.Dg1s2), float(p.Ds2)
+        cpe = float(sol.pE[-1]) / 100.0 * float(co[4])
+
+        n = 100
+        h = R / n
+        r = np.linspace(0, R, n + 1)
+        casfk = analytic_asfk(r, CoSFK, cpe, float(p.Dsfk), float(p.kSa),
+                              float(p.kSi))
+        i = np.arange(1, n)
+
+        def lap(C, D):
+            return D * ((C[i + 1] - C[i - 1]) / (r[i] * h)
+                        + (C[i + 1] - 2 * C[i] + C[i - 1]) / h**2)
+
+        def species_resid(C, D, react):
+            return np.concatenate(
+                [[C[1] - C[0]], lap(C, D) + react, [C[n] - C[n - 1]]])
+
+        def resid(x):
+            G, PG, PS, S2 = x.reshape(4, n + 1)
+            Fg = species_resid(G, D_G1,
+                               kG1dp * PG[i] - kG1p * G[i] * casfk[i])
+            Fp = species_resid(PG, D_G1,
+                               -kG1dp * PG[i] + kG1p * G[i] * casfk[i])
+            Fs = species_resid(PS, D_G1S2,
+                               -kS2r * PS[i] + kS2f * PG[i] * S2[i])
+            F2 = species_resid(S2, D_S2,
+                               kS2r * PS[i] - kS2f * PG[i] * S2[i])
+            g1tot, s2tot = G + PG + PS, PS + S2
+            mb1 = 3.0 / R**3 * np.trapezoid(g1tot * r**2, r) - CoG1
+            mb2 = 3.0 / R**3 * np.trapezoid(s2tot * r**2, r) - CoS2
+            return np.concatenate([Fg, Fp, Fs, F2, [mb1, mb2]])
+
+        res = least_squares(resid, np.full(4 * (n + 1), 75.0),
+                            method="trf", xtol=1e-14, ftol=1e-14,
+                            gtol=1e-14)
+        G, PG, PS, S2 = res.x.reshape(4, n + 1)
+        assert res.cost < 1e-10  # the BVP itself is solved exactly
+
+        full = _pde_lumped_profiles(sol, r)
+        np.testing.assert_allclose(G, full["gab1"], rtol=0.05)
+        np.testing.assert_allclose(PG + PS, full["pg1tot"], rtol=0.05)
+        np.testing.assert_allclose(PS, full["pg1s"], rtol=0.05)
+        np.testing.assert_allclose(S2, full["shp2"], rtol=0.05)
+
+
+class TestTwoODEReduction:
+    def test_profiles_match_full_pde(self, full_solution):
+        """The 2-ODE GAB1/SHP2 reduction (``ssfindiffsol2.m:53-80``)
+        with algebraic closures pGAB1 = CoG1 - GAB1 - CoS2 + SHP2 and
+        G1S2 = CoS2 - SHP2."""
+        sol, co, p = full_solution
+        CoG1, CoS2, CoSFK = float(co[2]), float(co[3]), float(co[0])
+        kS2f, kS2r = float(p.kS2f), float(p.kS2r)
+        kG1p, kG1dp = float(p.kG1p), float(p.kG1dp)
+        D_G1, D_S2 = float(p.Dg1), float(p.Ds2)
+        cpe = float(sol.pE[-1]) / 100.0 * float(co[4])
+
+        n = 100
+        h = R / n
+        r = np.linspace(0, R, n + 1)
+        casfk = analytic_asfk(r, CoSFK, cpe, float(p.Dsfk), float(p.kSa),
+                              float(p.kSi))
+        i = np.arange(1, n)
+
+        def lap(C, D):
+            return D * ((C[i + 1] - C[i - 1]) / (r[i] * h)
+                        + (C[i + 1] - 2 * C[i] + C[i - 1]) / h**2)
+
+        def resid(x):
+            G, S2 = x.reshape(2, n + 1)
+            pG = CoG1 - G - CoS2 + S2
+            Fg = np.concatenate(
+                [[G[1] - G[0]],
+                 lap(G, D_G1) + kG1dp * pG[i] - kG1p * G[i] * casfk[i],
+                 [G[n] - G[n - 1]]])
+            F2 = np.concatenate(
+                [[S2[1] - S2[0]],
+                 lap(S2, D_S2) + kS2r * (CoS2 - S2[i])
+                 - kS2f * S2[i] * pG[i],
+                 [S2[n] - S2[n - 1]]])
+            g1s2 = CoS2 - S2
+            g1tot = G + pG + g1s2
+            s2tot = S2 + g1s2
+            mb1 = 3.0 / R**3 * np.trapezoid(g1tot * r**2, r) - CoG1
+            mb2 = 3.0 / R**3 * np.trapezoid(s2tot * r**2, r) - CoS2
+            return np.concatenate([Fg, F2, [mb1, mb2]])
+
+        res = least_squares(resid, np.full(2 * (n + 1), 75.0),
+                            method="trf", xtol=1e-14, ftol=1e-14,
+                            gtol=1e-14)
+        G, S2 = res.x.reshape(2, n + 1)
+        PS = CoS2 - S2
+        PGtot = CoG1 - G - CoS2 + S2 + PS
+
+        full = _pde_lumped_profiles(sol, r)
+        np.testing.assert_allclose(G, full["gab1"], rtol=0.05)
+        np.testing.assert_allclose(PGtot, full["pg1tot"], rtol=0.05)
+        np.testing.assert_allclose(PS, full["pg1s"], rtol=0.05)
+        np.testing.assert_allclose(S2, full["shp2"], rtol=0.05)
 
 
 class TestOneODEReduction:
