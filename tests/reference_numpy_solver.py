@@ -2,12 +2,24 @@
 cross-validation only.
 
 The reference validates its Julia solver against an independently
-written MATLAB twin (``MATLAB/basepdesolver.m`` run on the same
-ensemble).  This module plays the MATLAB role for our framework: a
-deliberately naive, scalar-python/NumPy transcription of the numerical
-scheme (FTCS interior update, zero-flux center, semi-implicit membrane
-fixed point), sharing no code or array layout with the JAX
-implementation.  Slow by design — only run on coarse grids in tests.
+written MATLAB twin (``MATLAB/basepdesolver.m`` /
+``MATLAB/basepdesolver_rect.m`` run on the same ensemble).  This module
+plays the MATLAB role for our framework: a deliberately naive,
+scalar-python/NumPy transcription of the numerical scheme (FTCS
+interior update, zero-flux center, semi-implicit membrane fixed
+point), sharing no code or array layout with the JAX implementation.
+Slow by design — only run on coarse grids in tests.
+
+Variants are covered the same way the MATLAB twin covers them —
+independent transcription of the scheme, not of our code:
+
+  * ``geometry="rect"`` — Cartesian Laplacian, no ``1/r`` metric term
+    (``basepdesolver_rect.jl:132-133`` / ``MATLAB/basepdesolver_rect.m``)
+  * ``memb_sfk=True`` — active-SFK diffusivity pinned to 1e-32 in both
+    the stencil and its ghost-node closure (``basepdesolver.jl:366,530``)
+  * ``t_prechase=...`` — gefitinib pulse-chase: kp set to 0 for every
+    step whose start time has reached ``t_prechase``
+    (``pulsechase_solver.jl:156-158``)
 """
 
 from __future__ import annotations
@@ -16,12 +28,17 @@ import numpy as np
 
 
 def solve_numpy(Co, D, k, R=10.0, dr=0.5, tf=0.5, Nts=2, maxiters=100,
-                tol=1e-6, dt=None):
+                tol=1e-6, dt=None, geometry="spherical", memb_sfk=False,
+                t_prechase=None):
     """Returns dict of final-time arrays and the saved pE trace."""
     (kS2f, kS2r, kG1f, kG1r, kG2f, kG2r, kG1p, kG1dp, kSa, kSi, kp, kdp,
      kEGFf, kEGFr, EGF, kdf, kdr) = [float(x) for x in k]
     D_S, D_G2, D_G2G1, D_G2G1S2, D_G1, D_G1S2, D_S2 = [float(x) for x in D]
+    D_Sa = 1e-32 if memb_sfk else D_S
     CoSFK, CoG2, CoG1, CoS2, CoEGFR = [float(x) for x in Co]
+    if geometry not in ("spherical", "rect"):
+        raise ValueError(geometry)
+    spherical = geometry == "spherical"
 
     if dt is None:
         dt = 0.99 / (2.0 * (max(D) / dr**2 + sum(k) / 4.0))
@@ -43,7 +60,7 @@ def solve_numpy(Co, D, k, R=10.0, dr=0.5, tf=0.5, Nts=2, maxiters=100,
     m_new = {n: 0.0 for n in m_old}
     cr_guess = {n: 0.0 for n in names}
 
-    diff = {"iSFK": D_S, "aSFK": D_S, "GAB1": D_G1, "pGAB1": D_G1,
+    diff = {"iSFK": D_S, "aSFK": D_Sa, "GAB1": D_G1, "pGAB1": D_G1,
             "GRB2": D_G2, "G2G1": D_G2G1, "G2PG1": D_G2G1, "SHP2": D_S2,
             "PG1S": D_G1S2, "G2PG1S": D_G2G1S2}
 
@@ -77,14 +94,17 @@ def solve_numpy(Co, D, k, R=10.0, dr=0.5, tf=0.5, Nts=2, maxiters=100,
     t, t_save, dt_save = 0.0, tf / Nts, tf / Nts
 
     for _ in range(Nt):
+        if t_prechase is not None and t >= t_prechase:
+            kp = 0.0  # gefitinib blocks EGFR phosphorylation
         # interior FTCS
         for j in range(1, Nr):
             rx = reactions(c_old, j)
             for n in names:
                 u = c_old[n]
-                lap = (diff[n] * (1.0 / (r[j] * dr) * (u[j + 1] - u[j - 1])
-                                  + (u[j + 1] - 2.0 * u[j] + u[j - 1]) / dr**2))
-                c_new[n][j] = (lap + rx[n]) * dt + u[j]
+                lap = (u[j + 1] - 2.0 * u[j] + u[j - 1]) / dr**2
+                if spherical:
+                    lap += 1.0 / (r[j] * dr) * (u[j + 1] - u[j - 1])
+                c_new[n][j] = (diff[n] * lap + rx[n]) * dt + u[j]
         for n in names:
             c_new[n][0] = c_new[n][1]
 
@@ -97,7 +117,7 @@ def solve_numpy(Co, D, k, R=10.0, dr=0.5, tf=0.5, Nts=2, maxiters=100,
                           + mm["EG2PG1S"])
             cr["iSFK"] = c_new["iSFK"][Nr - 1] / (1 + kSa * Etot * dr / D_S)
             cr["aSFK"] = (c_new["aSFK"][Nr - 1]
-                          + kSa * cr["iSFK"] * Etot * dr / D_S)
+                          + kSa * cr["iSFK"] * Etot * dr / D_Sa)
             cr["GAB1"] = ((kG1r * mm["EG2G1"] * dr / D_G1
                            + c_new["GAB1"][Nr - 1])
                           / (1 + kG1f * mm["EG2"] * dr / D_G1))

@@ -141,7 +141,7 @@ class TestSharding:
         Co = jnp.asarray(default_co(), jnp.float32)
         batch = _small_batch(n=32).astype(jnp.float32)
         kw = dict(dr=0.2, tf=5.0, Nts=2, rtol=1e-4, atol=1e-7,
-                  method="ros23", return_stats=True)
+                  method="rosenbrock23", return_stats=True)
 
         def local_batch(packed):
             p = Params.unpack(packed)
