@@ -57,3 +57,22 @@ def test_pulse_chase_reference_trace():
     # decays by >90% overall (the tail recovers very slightly)
     assert vals[-1] < 0.1 * vals[0]
     assert np.sum(np.diff(vals) < 0) > 20
+
+
+def test_pulse_chase_rmse_regression_bound(tmp_path):
+    """The committed full-scale parity (RMSE 15.3 percent-points vs the
+    shipped reaction-only ODE trace, ``gefitinib_pulse_chase.jl:54-56``)
+    must not silently regress: a small-N CPU run of the actual driver
+    stays under 20 percent-points."""
+    from gab1_shp2_tpu.workloads import pulse_chase
+
+    t, vals = pulse_chase.reference_trace()
+    if vals is None:
+        pytest.skip("reference trace not available")
+    out = str(tmp_path)
+    pulse_chase.main(["--n", "8", "--dr", "0.4", "--nts", "60",
+                      "--rtol", "1e-4", "--outdir", out])
+    rows = np.genfromtxt(f"{out}/pulse_chase_vs_ode.csv", delimiter=",",
+                         skip_header=1)
+    rmse = float(np.sqrt(np.mean((rows[:, 1] - rows[:, 2]) ** 2)))
+    assert rmse < 20.0, f"pulse-chase RMSE vs ODE trace drifted: {rmse}"
