@@ -76,15 +76,52 @@ def mm_lanes(Am: jax.Array, Bm: jax.Array) -> jax.Array:
     ~12x less wasted work.
     """
     j_dim = Am.shape[-2]
-    acc = Am[..., :, 0, None, :] * Bm[..., None, 0, :, :]
+    # pure-slice indexing (no int/None mix): int+newaxis subscripts lower
+    # to a gather that Mosaic cannot lower when this runs inside the
+    # fused Pallas kernel (ops/ros23_pallas.py)
+    acc = Am[..., :, 0:1, :] * Bm[..., 0:1, :, :]
     for j in range(1, j_dim):
-        acc = acc + Am[..., :, j, None, :] * Bm[..., None, j, :, :]
+        acc = acc + Am[..., :, j:j + 1, :] * Bm[..., j:j + 1, :, :]
     return acc
 
 
 def mv_lanes(Am: jax.Array, x: jax.Array) -> jax.Array:
     """Block matvec ``(..., i, j, B) @ (..., j, B) -> (..., i, B)``."""
     return jnp.sum(Am * x[..., None, :, :], axis=-2)
+
+
+def eye_lanes(n: int, dtype) -> jax.Array:
+    """(n, n, 1) identity built from iota (no constant-array capture, so
+    the same code lowers inside Pallas/Mosaic kernels)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    return (r == c).astype(dtype)
+
+
+def even_odd(a: jax.Array):
+    """Stride-2 split along the leading (block) axis, Mosaic-safe.
+
+    Statically unrolled contiguous slices + concatenate: jnp's
+    ``a[0::2]`` falls back to gather, ``lax.slice`` with stride 2 hits
+    ``vector.extract_strided_slice … strides confined to [1, 2)``, and a
+    rank-5 ``reshape + [:, i]`` crashes the TPU backend compiler
+    (``Check failed: limits[i] <= dim(i)``) — all measured on v5e.  The
+    block count is <= 32, so the unroll is small, and both XLA and
+    Mosaic lower it to plain tile copies.
+    """
+    n0 = a.shape[0]
+    ev = [a[i:i + 1] for i in range(0, n0, 2)]
+    od = [a[i:i + 1] for i in range(1, n0, 2)]
+    ev = ev[0] if len(ev) == 1 else jnp.concatenate(ev, axis=0)
+    od = od[0] if len(od) == 1 else jnp.concatenate(od, axis=0)
+    return ev, od
+
+
+def interleave_lanes(e: jax.Array, o: jax.Array) -> jax.Array:
+    """Inverse of :func:`even_odd`: ``[e0, o0, e1, o1, …]`` (Mosaic-safe
+    unrolled concatenate; see even_odd docstring)."""
+    parts = [x for i in range(e.shape[0]) for x in (e[i:i + 1], o[i:i + 1])]
+    return jnp.concatenate(parts, axis=0)
 
 
 def gj_inv_lanes(Am: jax.Array) -> jax.Array:
@@ -95,10 +132,10 @@ def gj_inv_lanes(Am: jax.Array) -> jax.Array:
     matrices, and a garbage solve surfaces as a rejected step.
     """
     n = Am.shape[-3]
-    eye = jnp.eye(n, dtype=Am.dtype)[:, :, None]
+    eye = eye_lanes(n, Am.dtype)
     M = jnp.concatenate(
         [Am, jnp.broadcast_to(eye, Am.shape)], axis=-2)  # (..., n, 2n, B)
-    rows = jnp.arange(n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     tiny = jnp.asarray(1e-30 if M.dtype == jnp.float64 else 1e-20, M.dtype)
     for k in range(n):
         piv = M[..., k:k + 1, k:k + 1, :]
@@ -106,7 +143,7 @@ def gj_inv_lanes(Am: jax.Array) -> jax.Array:
                         jnp.where(piv < 0, -tiny, tiny), piv)
         row_k = M[..., k:k + 1, :, :] / piv
         factors = M[..., :, k:k + 1, :]
-        is_k = (rows == k)[:, None, None]
+        is_k = rows == k
         M = jnp.where(is_k, row_k, M - factors * row_k)
     return M[..., :, n:, :]
 
@@ -147,8 +184,7 @@ def cr_factor_lanes(L: jax.Array, D: jax.Array, U: jax.Array
         m *= 2
     pad = m - nb0
     if pad:
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=D.dtype)[:, :, None],
-                               (pad, n, n, B))
+        eye = jnp.broadcast_to(eye_lanes(n, D.dtype)[None], (pad, n, n, B))
         zpad = jnp.zeros((pad, n, n, B), D.dtype)
         L = jnp.concatenate([L, zpad], axis=0)
         D = jnp.concatenate([D, eye], axis=0)
@@ -157,22 +193,34 @@ def cr_factor_lanes(L: jax.Array, D: jax.Array, U: jax.Array
     nb = m
     levels = []
     while nb > 1:
-        De, Do = D[0::2], D[1::2]
-        Le, Lo = L[0::2], L[1::2]
-        Ue, Uo = U[0::2], U[1::2]
+        De, Do = even_odd(D)
+        Le, Lo = even_odd(L)
+        Ue, Uo = even_odd(U)
         Dinv_odd = gj_inv_lanes(Do)
 
         zero1 = jnp.zeros((1, n, n, B), D.dtype)
-        Dinv_left = jnp.concatenate([zero1, Dinv_odd[:-1]], axis=0)
-        U_left = jnp.concatenate([zero1, Uo[:-1]], axis=0)
-        L_left = jnp.concatenate([zero1, Lo[:-1]], axis=0)
-
-        LDinv = mm_lanes(Le, Dinv_left)
-        UDinv = mm_lanes(Ue, Dinv_odd)
-
-        D_new = De - mm_lanes(LDinv, U_left) - mm_lanes(UDinv, Lo)
-        L_new = -mm_lanes(LDinv, L_left)
-        U_new = -mm_lanes(UDinv, Uo)
+        if Do.shape[0] > 1:
+            Dinv_left = jnp.concatenate([zero1, Dinv_odd[:-1]], axis=0)
+            U_left = jnp.concatenate([zero1, Uo[:-1]], axis=0)
+            L_left = jnp.concatenate([zero1, Lo[:-1]], axis=0)
+            LDinv = mm_lanes(Le, Dinv_left)
+            UDinv = mm_lanes(Ue, Dinv_odd)
+            D_new = De - mm_lanes(LDinv, U_left) - mm_lanes(UDinv, Lo)
+            L_new = -mm_lanes(LDinv, L_left)
+            U_new = -mm_lanes(UDinv, Uo)
+        else:
+            # single odd block: every shifted-left neighbour is exactly
+            # zero, so the LDinv/L_new/U_new terms vanish.  Skipping them
+            # matters beyond efficiency: mm_lanes with a constant-zero
+            # operand crashes the TPU backend compiler inside the fused
+            # Pallas kernel (``Check failed: limits[i] <= dim(i)``,
+            # measured on v5e), and 0-length concatenate operands are
+            # illegal under Mosaic.
+            UDinv = mm_lanes(Ue, Dinv_odd)
+            LDinv = jnp.zeros_like(UDinv)
+            D_new = De - mm_lanes(UDinv, Lo)
+            L_new = jnp.zeros_like(D_new)
+            U_new = jnp.zeros_like(D_new)
 
         levels.append(CRLanesLevel(Dinv_odd=Dinv_odd, L_odd=Lo, U_odd=Uo,
                                    LDinv=LDinv, UDinv=UDinv))
@@ -193,22 +241,33 @@ def cr_solve_lanes(fac: CRLanesFactors, b: jax.Array) -> jax.Array:
     bs = [b]
     zb = jnp.zeros((1, n, B), b.dtype)
     for lv in fac.levels:
-        be, bo = b[0::2], b[1::2]
-        b = be - mv_lanes(lv.LDinv, jnp.concatenate([zb, bo[:-1]], axis=0)) \
-            - mv_lanes(lv.UDinv, bo)
+        be, bo = even_odd(b)
+        if bo.shape[0] > 1:
+            bo_left = jnp.concatenate([zb, bo[:-1]], axis=0)
+            b = be - mv_lanes(lv.LDinv, bo_left) - mv_lanes(lv.UDinv, bo)
+        else:
+            # the LDinv term is exactly zero (see cr_factor_lanes); also
+            # avoids a constant-zero mv operand, which crashes the TPU
+            # backend compiler under the fused Pallas kernel
+            b = be - mv_lanes(lv.UDinv, bo)
         bs.append(b)
 
     x = mv_lanes(fac.root_inv, b)
 
     for lv, b_lvl in zip(reversed(fac.levels), reversed(bs[:-1])):
-        bo = b_lvl[1::2]
+        bo = even_odd(b_lvl)[1]
         x_even = x
         zx = jnp.zeros((1, n, B), b.dtype)
-        x_right = jnp.concatenate([x_even[1:], zx], axis=0)
-        rhs_o = bo - mv_lanes(lv.L_odd, x_even) - mv_lanes(lv.U_odd, x_right)
+        if x_even.shape[0] > 1:
+            x_right = jnp.concatenate([x_even[1:], zx], axis=0)
+            rhs_o = (bo - mv_lanes(lv.L_odd, x_even)
+                     - mv_lanes(lv.U_odd, x_right))
+        else:
+            # single even block: x_right is exactly zero (same
+            # constant-zero-operand avoidance as in cr_factor_lanes)
+            rhs_o = bo - mv_lanes(lv.L_odd, x_even)
         x_odd = mv_lanes(lv.Dinv_odd, rhs_o)
-        x = jnp.stack([x_even, x_odd], axis=1).reshape(
-            2 * lv.Dinv_odd.shape[0], n, B)
+        x = interleave_lanes(x_even, x_odd)
 
     return x[:nb0]
 
@@ -300,10 +359,12 @@ def block_jacobian_lanes(rhs_lanes, y: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps",
-                                   "method", "linsolve_dtype", "jac_reuse"))
+                                   "method", "linsolve_dtype", "jac_reuse",
+                                   "step_impl", "controller"))
 def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                       max_steps, h0, method, linsolve_dtype,
-                      jac_reuse=False):
+                      jac_reuse=False, step_impl="xla",
+                      controller="standard"):
     dtype = Co.dtype
     B = params.k.shape[0]
     Nr = int(round(R / dr))
@@ -389,6 +450,10 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
 
     def run_leg(carry_in, t0, t1, p: Params):
         f = partial(f_lanes, params=p)
+        if step_impl == "pallas":
+            # the fused kernel recomputes the RHS in-kernel from the
+            # packed kinetics + per-species diffusivities
+            d_eff_leg = rhs_mod.effective_diffusivities(system, p)
 
         def newton(fac, y_init, rhs_const, h):
             """Per-lane Newton iteration; h is (B,)."""
@@ -416,11 +481,12 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             return y, dn <= ntol
 
         def body(c):
+            base, extra = c[:9], c[9:]
+            t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = base
+            if controller == "pi":
+                errp, extra = extra[0], extra[1:]
             if reuse:
-                (t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed,
-                 Lj, Dj, Uj, j_age, want_refresh) = c
-            else:
-                t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = c
+                Lj, Dj, Uj, j_age, want_refresh = extra
             active = t < t1 - eps
             # step size used this iteration: truncated to the leg end for
             # active lanes, a harmless dummy for finished lanes (their
@@ -462,6 +528,13 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 est = solve(fac, y_1 - y_hat)
                 errn = scaled_norm(est, y, y_1)
                 ok = jnp.logical_and(ok1, ok2)
+            elif method == "rosenbrock23" and step_impl == "pallas":
+                from gab1_shp2_tpu.ops.ros23_pallas import ros23_step_fused
+
+                y_1, f_1, est = ros23_step_fused(
+                    system, Lj, Dj, Uj, y, f_n, h, p.k, d_eff_leg, Nr, dr)
+                errn = scaled_norm(est, y, y_1)
+                ok = jnp.isfinite(errn)
             elif method == "rosenbrock23":
                 d = _ROS_D
                 fac = factor(-d * hb * Lj,
@@ -486,7 +559,16 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             t_new = jnp.where(accept, t + h, t)
             y_new = jnp.where(accept[None, None, :], y_1, y)
 
-            fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
+            if controller == "pi":
+                # PI (Gustafsson-style) smoothing: fac = s*errn^-b1*errp^b2
+                # with b1 = 0.7/k, b2 = 0.4/k for the embedded order
+                # k = 3 (Hairer & Wanner II.4; VERDICT r2 item 8)
+                en = jnp.maximum(errn, 1e-10)
+                fac_ok = jnp.clip(
+                    0.9 * en ** (-0.7 / 3.0) * errp ** (0.4 / 3.0),
+                    0.2, 4.0)
+            else:
+                fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
             fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** (-1.0 / 3.0),
                                              0.1, 0.5), 0.3)
             h_prop = h * jnp.where(accept, fac_ok, fac_rej)
@@ -529,14 +611,17 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
 
             nacc = nacc + accept.astype(jnp.int32)
             nrej = nrej + jnp.logical_and(active, ~accept).astype(jnp.int32)
+            out = (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
+                   failed)
+            if controller == "pi":
+                out = out + (jnp.where(accept, jnp.maximum(errn, 1e-10),
+                                       errp),)
             if reuse:
                 # a Newton failure invalidates the (possibly stale) J:
                 # refresh before the retry; accepted steps age it
                 want_new = jnp.any(jnp.logical_and(active, ~ok))
-                return (t_new, h_new, y_new, nts, out_C, out_m, nacc,
-                        nrej, failed, Lj, Dj, Uj, j_age + 1, want_new)
-            return (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
-                    failed)
+                out = out + (Lj, Dj, Uj, j_age + 1, want_new)
+            return out
 
         def cond(c):
             t, _, _, _, _, _, nacc, nrej, failed = c[:9]
@@ -548,6 +633,10 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         t, h, y, nts, out_C, out_m, nacc, nrej, failed = carry_in
         t = jnp.maximum(t, t0)
         init = (t, h, y, nts, out_C, out_m, nacc, nrej, failed)
+        if controller == "pi":
+            # the error-history seed: 1.0 makes the first accepted step
+            # behave exactly like the asymptotic controller
+            init = init + (jnp.ones((B,), dtype),)
         if reuse:
             # fresh J at leg entry (params changed)
             L0, D0, U0 = fast_block_jacobian_lanes(system, y, p, r, dr)
@@ -591,6 +680,8 @@ def solve_stiff_batch(
     method: str = "trbdf2",
     linsolve_dtype=None,
     jac_reuse: Optional[bool] = None,
+    step_impl: Optional[str] = None,
+    controller: str = "standard",
 ):
     """Batched stiff MoL solve over a parameter ensemble.
 
@@ -626,10 +717,28 @@ def solve_stiff_batch(
         legs = ((0.0, float(t_prechase), params),
                 (float(t_prechase), float(tf), p2))
     ls = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
+    if step_impl is None:
+        # the fused Pallas step (factor + stage solves + in-kernel RHS,
+        # ops/ros23_pallas.py) is f32-only and wins on real TPUs; the
+        # CPU backend keeps the XLA step (Pallas interpret mode there
+        # is for tests, not speed)
+        step_impl = ("pallas"
+                     if (method == "rosenbrock23"
+                         and Co.dtype == jnp.float32
+                         and ls in (None, "float32")
+                         and jax.devices()[0].platform == "tpu")
+                     else "xla")
+    if step_impl == "pallas" and (Co.dtype != jnp.float32
+                                  or ls not in (None, "float32")
+                                  or method != "rosenbrock23"):
+        raise ValueError("step_impl='pallas' supports only float32 "
+                         "rosenbrock23 with float32 linear algebra")
     sol, stats = _solve_batch_impl(system, Co, params, legs, float(R),
                                    float(dr), int(Nts), rtol, atol,
                                    int(max_steps), float(h0), method, ls,
-                                   jac_reuse=bool(jac_reuse))
+                                   jac_reuse=bool(jac_reuse),
+                                   step_impl=step_impl,
+                                   controller=controller)
     if return_stats:
         return sol, stats
     return sol
