@@ -62,7 +62,7 @@ def _co_array(which: str):
 
 def main(argv=None):
     ap = common.default_argparser(__doc__)
-    ap.add_argument("--stage", choices=("map", "nuts", "both"),
+    ap.add_argument("--stage", choices=("map", "nuts", "both", "predictive"),
                     default="both")
     ap.add_argument("--co", choices=("base", "hela"), default="base")
     ap.add_argument("--likelihood", choices=("surrogate", "exact"),
@@ -84,6 +84,25 @@ def main(argv=None):
     os.makedirs(out, exist_ok=True)
     tag = "" if args.co == "base" else "_hela"
     Co = _co_array(args.co)
+
+    if args.stage == "predictive":
+        # standalone predictive checks from a committed posterior
+        # (param_fitting+inference_finitediff.jl:491-527): load
+        # posterior_samples{tag}.csv written by an earlier nuts run
+        samples_csv = f"{out}/posterior_samples{tag}.csv"
+        arr = np.loadtxt(samples_csv, delimiter=",", skiprows=1)
+        samples, w = arr[:, :4], arr[:, 4]
+        # importance-resample by the exact-likelihood weights so the
+        # predictive subsampling below sees an unweighted posterior
+        w = w / w.sum()
+        ridx = np.random.default_rng(args.seed + 77).choice(
+            len(samples), size=len(samples), replace=True, p=w)
+        samples = samples[ridx]
+        print(f"predictive checks from {samples_csv} "
+              f"({len(samples)} weighted posterior draws, resampled)")
+        obs = make_observable_fn(Co=Co, dr=args.dr, rtol=args.rtol)
+        _predictive_checks(obs, samples, args, out, tag)
+        return
 
     x_map = None
     if args.stage in ("map", "both"):
@@ -127,7 +146,7 @@ def main(argv=None):
 
     if args.predictive:
         obs = make_observable_fn(Co=Co, dr=args.dr, rtol=args.rtol)
-        _predictive_checks(obs, samples, args, out)
+        _predictive_checks(obs, samples, args, out, tag)
 
 
 def _run_chains(lp, x_map, args, checkpoint_cfg, out):
@@ -277,7 +296,7 @@ def _save_posterior(out, tag, samples, w, ess=None):
                         ["n_draws", "ess"], [[len(samples), ess]])
 
 
-def _predictive_checks(obs, posterior_samples, args, out):
+def _predictive_checks(obs, posterior_samples, args, out, tag=""):
     """Prior and posterior predictive distributions of the observable
     (% SHP2-bound GAB1), mirroring the reference's predict() checks."""
     import jax
@@ -297,16 +316,23 @@ def _predictive_checks(obs, posterior_samples, args, out):
     post_draws = posterior_samples[post_idx]
 
     vobs = jax.jit(jax.vmap(lambda x: obs(jnp.log(x))))
+    chunk = min(args.chunk, 128)  # TPU watchdog: keep dispatches < 60 s
+
+    def vobs_chunked(draws):
+        return np.concatenate(
+            [np.asarray(vobs(jnp.asarray(draws[s:s + chunk])))
+             for s in range(0, len(draws), chunk)])
+
     rows = []
     for label, draws in (("prior", prior_draws), ("posterior", post_draws)):
-        y = np.asarray(vobs(jnp.asarray(draws)))
+        y = vobs_chunked(draws)
         y = y[np.isfinite(y)]
         q = np.quantile(y, QS)
         rows.append([label] + list(q))
         print(f"{label} predictive %SHP2-bound GAB1: median {q[2]:.2f} "
               f"[{q[0]:.2f}, {q[4]:.2f}] (datum "
               f"{EXPTL_PCT_SHP2_BOUND_GAB1[0]})")
-    common.save_csv(f"{out}/predictive_checks.csv",
+    common.save_csv(f"{out}/predictive_checks{tag}.csv",
                     ["which"] + [f"q{q}" for q in QS], rows)
 
 

@@ -155,10 +155,12 @@ class TestPosteriorQuantileParity:
     ``param_fitting+inference_finitediff.jl:411-444``).
 
     The reference posteriors are diffuse (95% CIs span 3-4 decades), so
-    the parity criterion is *location*: medians within x/3 of the
-    reference, and the central-50% interval overlapping.  Skips when
-    the artifact has not been generated yet
-    (``workloads/fit_and_infer.py``).
+    the parity criterion is *location*: medians within x/2 of the
+    reference (measured agreement is within x1.26 on base; the exact-
+    likelihood validation run agrees with the surrogate within x1.5 —
+    see ``results/inference/exact_nuts/comparison_vs_surrogate.csv``),
+    and the central-50% interval overlapping.  Skips when the artifact
+    has not been generated yet (``workloads/fit_and_infer.py``).
     """
 
     @pytest.mark.parametrize("tag,ref_name", [
@@ -193,6 +195,47 @@ class TestPosteriorQuantileParity:
         assert set(ref) == set(mine)
         for n, (rm, rlo, rhi) in ref.items():
             mm, mlo, mhi = mine[n]
-            assert rm / 3.0 < mm < rm * 3.0, (n, mm, rm)
+            assert rm / 2.0 < mm < rm * 2.0, (n, mm, rm)
             # central-50% intervals overlap
             assert mlo < rhi and rlo < mhi, (n, (mlo, mhi), (rlo, rhi))
+
+
+class TestExactVsSurrogatePosterior:
+    """The amortized (Chebyshev-surrogate + exact-reweighting) posterior
+    against a from-scratch exact-likelihood NUTS run (2 chains x 200
+    samples, dr=0.2, CPU-pinned; ``scripts/run_exact_nuts_r3.sh``,
+    mirroring ``param_fitting+inference_finitediff.jl:403-408``).
+
+    This closes the validation gap the importance-ESS alone leaves
+    open: the exact chain explores with the exact likelihood, so mass
+    the surrogate chain never visits would show up here.  Committed
+    run: medians agree within x1.48 (kSa, the flat-ridge direction),
+    x1.11 elsewhere; all central-50% intervals overlap."""
+
+    def test_quantile_agreement(self):
+        import csv
+        import os
+
+        here = os.path.dirname(__file__)
+        base = os.path.join(here, "..", "results", "inference")
+        exact_path = os.path.join(base, "exact_nuts",
+                                  "posterior_quantiles.csv")
+        sur_path = os.path.join(base, "posterior_quantiles.csv")
+        if not (os.path.exists(exact_path) and os.path.exists(sur_path)):
+            pytest.skip("exact-NUTS validation artifacts not generated")
+
+        def load(path):
+            out = {}
+            with open(path) as f:
+                for row in csv.DictReader(f):
+                    out[row["param"]] = tuple(
+                        float(row[q]) for q in ("q0.5", "q0.25", "q0.75"))
+            return out
+
+        exact, sur = load(exact_path), load(sur_path)
+        assert set(exact) == set(sur)
+        for n in exact:
+            em, elo, ehi = exact[n]
+            sm, slo, shi = sur[n]
+            assert sm / 2.0 < em < sm * 2.0, (n, em, sm)
+            assert elo < shi and slo < ehi, (n, (elo, ehi), (slo, shi))

@@ -76,3 +76,36 @@ def test_pulse_chase_rmse_regression_bound(tmp_path):
                          skip_header=1)
     rmse = float(np.sqrt(np.mean((rows[:, 1] - rows[:, 2]) ** 2)))
     assert rmse < 20.0, f"pulse-chase RMSE vs ODE trace drifted: {rmse}"
+
+
+def test_predictive_check_artifacts():
+    """Committed predictive-check artifacts
+    (``param_fitting+inference_finitediff.jl:491-527``): the posterior
+    predictive must be a sharp contraction of the prior predictive
+    toward the datum.
+
+    The base posterior-predictive interval abuts the datum (26.43) from
+    below at ~26.03 — the model's own maximum at the fitted ridge, the
+    same gap the reference optimizer leaves (f_min ~ 2e-3).  The HeLa
+    posterior predictive sits lower still (~19): with HeLa
+    concentrations the datum is less attainable, which is the
+    reference's Bayes-factor conclusion (run_base_model_HeLa.jl)."""
+    from gab1_shp2_tpu.models.params import EXPTL_PCT_SHP2_BOUND_GAB1
+
+    datum = EXPTL_PCT_SHP2_BOUND_GAB1[0]
+    for tag, post_upper_min in (("", 25.0), ("_hela", 18.0)):
+        path = f"results/inference/predictive_checks{tag}.csv"
+        if not os.path.exists(path):
+            pytest.skip(f"{path} not committed")
+        rows = {}
+        with open(path) as f:
+            hdr = f.readline().strip().split(",")[1:]
+            for line in f:
+                parts = line.strip().split(",")
+                rows[parts[0]] = dict(zip(hdr, map(float, parts[1:])))
+        pri, post = rows["prior"], rows["posterior"]
+        width = lambda r: r["q0.975"] - r["q0.025"]
+        assert width(post) < 0.5 * width(pri)
+        assert abs(post["q0.5"] - datum) < abs(pri["q0.5"] - datum)
+        # interval top close under the datum (model ceiling; see above)
+        assert post_upper_min < post["q0.975"] < datum + 1.0
