@@ -360,11 +360,10 @@ def block_jacobian_lanes(rhs_lanes, y: jax.Array):
 
 @partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps",
                                    "method", "linsolve_dtype", "jac_reuse",
-                                   "step_impl", "controller"))
+                                   "step_impl"))
 def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                       max_steps, h0, method, linsolve_dtype,
-                      jac_reuse=False, step_impl="xla",
-                      controller="standard"):
+                      jac_reuse=False, step_impl="xla"):
     dtype = Co.dtype
     B = params.k.shape[0]
     Nr = int(round(R / dr))
@@ -483,8 +482,6 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         def body(c):
             base, extra = c[:9], c[9:]
             t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = base
-            if controller == "pi":
-                errp, extra = extra[0], extra[1:]
             if reuse:
                 Lj, Dj, Uj, j_age, want_refresh = extra
             active = t < t1 - eps
@@ -559,16 +556,17 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             t_new = jnp.where(accept, t + h, t)
             y_new = jnp.where(accept[None, None, :], y_1, y)
 
-            if controller == "pi":
-                # PI (Gustafsson-style) smoothing: fac = s*errn^-b1*errp^b2
-                # with b1 = 0.7/k, b2 = 0.4/k for the embedded order
-                # k = 3 (Hairer & Wanner II.4; VERDICT r2 item 8)
-                en = jnp.maximum(errn, 1e-10)
-                fac_ok = jnp.clip(
-                    0.9 * en ** (-0.7 / 3.0) * errp ** (0.4 / 3.0),
-                    0.2, 4.0)
-            else:
-                fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
+            # MEASURED DEAD END (VERDICT r2 item 8): a PI/Gustafsson
+            # controller (fac = 0.9*errn^(-0.7/3)*errp^(0.4/3), Hairer &
+            # Wanner II.4) was implemented and benchmarked at the bench
+            # config (v5e, B=1024/chunk 256).  It did cut rejections on
+            # the f64 north star (424 -> 84) but its damped step growth
+            # cost far more accepted steps (f32 ros23 187k -> 261k,
+            # 923 -> 746 solves/s; f64 trbdf2 599k -> 784k, 202 -> 166)
+            # — this problem's rejection rate is already ~0.07%, so
+            # smoothing has nothing to buy back.  The plain asymptotic
+            # controller stays.
+            fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
             fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** (-1.0 / 3.0),
                                              0.1, 0.5), 0.3)
             h_prop = h * jnp.where(accept, fac_ok, fac_rej)
@@ -613,9 +611,6 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             nrej = nrej + jnp.logical_and(active, ~accept).astype(jnp.int32)
             out = (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
                    failed)
-            if controller == "pi":
-                out = out + (jnp.where(accept, jnp.maximum(errn, 1e-10),
-                                       errp),)
             if reuse:
                 # a Newton failure invalidates the (possibly stale) J:
                 # refresh before the retry; accepted steps age it
@@ -633,10 +628,6 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         t, h, y, nts, out_C, out_m, nacc, nrej, failed = carry_in
         t = jnp.maximum(t, t0)
         init = (t, h, y, nts, out_C, out_m, nacc, nrej, failed)
-        if controller == "pi":
-            # the error-history seed: 1.0 makes the first accepted step
-            # behave exactly like the asymptotic controller
-            init = init + (jnp.ones((B,), dtype),)
         if reuse:
             # fresh J at leg entry (params changed)
             L0, D0, U0 = fast_block_jacobian_lanes(system, y, p, r, dr)
@@ -681,7 +672,6 @@ def solve_stiff_batch(
     linsolve_dtype=None,
     jac_reuse: Optional[bool] = None,
     step_impl: Optional[str] = None,
-    controller: str = "standard",
 ):
     """Batched stiff MoL solve over a parameter ensemble.
 
@@ -737,8 +727,7 @@ def solve_stiff_batch(
                                    float(dr), int(Nts), rtol, atol,
                                    int(max_steps), float(h0), method, ls,
                                    jac_reuse=bool(jac_reuse),
-                                   step_impl=step_impl,
-                                   controller=controller)
+                                   step_impl=step_impl)
     if return_stats:
         return sol, stats
     return sol
