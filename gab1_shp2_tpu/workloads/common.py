@@ -152,3 +152,81 @@ def save_line_plot(path: str, x, ys: dict, xlabel: str, ylabel: str,
     ax.legend(fontsize=8)
     fig.savefig(path, dpi=150, bbox_inches="tight")
     plt.close(fig)
+
+
+def save_bar_comparison(path: str, bars, ylabel: str, title: str) -> None:
+    """Bar + asymmetric error-bar comparison figure, the form of the
+    reference's model-vs-experiment panel (``run_base_model.jl:285-311``:
+    BarPlot + Errorbars per group).
+
+    ``bars`` is a list of (label, value, err_lo, err_hi).
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels = [b[0] for b in bars]
+    vals = [b[1] for b in bars]
+    errs = np.array([[b[2] for b in bars], [b[3] for b in bars]])
+    fig, ax = plt.subplots(figsize=(2.6, 3.4))
+    x = np.arange(len(bars))
+    ax.bar(x, vals, width=0.6, color=["#2a6f97", "#bc4749"][:len(bars)],
+           alpha=0.85)
+    ax.errorbar(x, vals, yerr=errs, fmt="none", ecolor="black",
+                capsize=4, lw=1.2)
+    ax.set_xticks(x, labels)
+    ax.set_ylabel(ylabel)
+    ax.set_ylim(0, None)
+    ax.set_title(title, fontsize=8)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def save_rotated_chase_surface(path: str, t_chase, r, z_med, ci_tf=None,
+                               ci_rR=None, zlabel: str = "",
+                               title: str = "") -> None:
+    """Rotated-azimuth 3-D surface of the chase window
+    (``gefitinib_pulse_chase.jl:215-253``: Axis3 azimuth=-1.9pi/3,
+    elevation=0.18pi, turbo surface + black wireframe, red dashed 68%
+    CI projections at t=t_chase and r=R).
+
+    ``z_med`` is (len(t_chase), len(r)); ``ci_tf`` = (lo, hi) profiles
+    over r at the final chase time; ``ci_rR`` = (lo, hi) traces over
+    t_chase at r=R.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(7, 5.5))
+    ax = fig.add_subplot(111, projection="3d")
+    T, Rg = np.meshgrid(t_chase, r, indexing="ij")
+    ax.plot_surface(T, Rg, z_med, cmap="turbo", linewidth=0,
+                    antialiased=True, alpha=0.95)
+    # coarse wireframe on top, the reference's mk.wireframe!
+    st, sr = max(1, len(t_chase) // 24), max(1, len(r) // 10)
+    ax.plot_wireframe(T, Rg, z_med, rstride=st, cstride=sr,
+                      color="black", linewidth=0.5)
+    tc_end, R = float(t_chase[-1]), float(r[-1])
+    if ci_tf is not None:
+        for prof in ci_tf:
+            ax.plot(np.full_like(r, tc_end), r, prof, "r--", lw=1.2)
+    if ci_rR is not None:
+        for trace in ci_rR:
+            ax.plot(t_chase, np.full_like(t_chase, R), trace, "r--",
+                    lw=1.2)
+    # Makie azimuth=-1.9pi/3 (=-114 deg), elevation=0.18pi (=32.4 deg)
+    ax.view_init(elev=32.4, azim=-114.0)
+    ax.set_xlabel("Gefitinib chase\ntime (min)")
+    ax.set_ylabel("r (um)")
+    ax.set_zlabel(zlabel)
+    ax.set_title(title, fontsize=10)
+    ax.set_xlim(0, tc_end)
+    ax.set_ylim(0, R)
+    ax.set_zlim(0, None)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)

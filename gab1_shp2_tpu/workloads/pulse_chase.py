@@ -43,13 +43,33 @@ def main(argv=None):
     tf = args.t_prechase + args.t_chase
     ens = common.get_ensemble(args.n, seed=args.seed)
 
-    pe, ok = run_ensemble(system, Co, ens, extract=lambda s: s.pE,
-                          solver=args.solver, dr=args.dr, tf=tf,
-                          Nts=args.nts, rtol=args.rtol, chunk=args.chunk,
-                          linsolve_dtype=common.linsolve_dtype(args),
-                          t_prechase=args.t_prechase)
+    kw = dict(solver=args.solver, dr=args.dr, tf=tf,
+              Nts=args.nts, rtol=args.rtol, chunk=args.chunk,
+              linsolve_dtype=common.linsolve_dtype(args),
+              t_prechase=args.t_prechase)
+    pe, ok = run_ensemble(system, Co, ens, extract=lambda s: s.pE, **kw)
     q = np.asarray(masked_quantiles(pe, ok))
     t = np.linspace(0, tf, args.nts + 1)
+
+    # rotated-azimuth chase surface of cytosolic GAB1-SHP2
+    # (gefitinib_pulse_chase.jl:215-253)
+    qg, okg = run_ensemble(system, Co, ens, extract=lambda s: s.PG1Stot,
+                           **kw)
+    qsurf = np.asarray(masked_quantiles(qg, okg))  # (3, Nts+1, Nr+1)
+    chase = t >= args.t_prechase - 1e-9
+    t_ch = t[chase] - args.t_prechase
+    r_grid = np.arange(qsurf.shape[-1]) * args.dr
+    common.save_rotated_chase_surface(
+        f"{out}/pulse_chase_PG1S_surf_rotated.png", t_ch, r_grid,
+        qsurf[1][chase],
+        ci_tf=(qsurf[0][-1], qsurf[2][-1]),
+        ci_rR=(qsurf[0][chase, -1], qsurf[2][chase, -1]),
+        zlabel="GAB1-SHP2 (molec/um^3)",
+        title="EGF-gefitinib pulse chase")
+    common.save_csv(
+        f"{out}/pulse_chase_PG1S_chase_surface.csv",
+        ["t_chase"] + [f"r{ri:.1f}" for ri in r_grid],
+        np.concatenate([t_ch[:, None], qsurf[1][chase]], axis=1).tolist())
     print(f"pulse-chase ensemble: {int(np.asarray(ok).sum())}/{len(ens)} ok")
 
     # normalize to the chase start, as the reference trace is (100 at

@@ -73,12 +73,22 @@ def main(argv=None):
                            extract=lambda s: pct_shp2_bound_gab1(s, Co, R),
                            **kw)
     qs = np.asarray(masked_quantiles(pct, ok, qs=(0.025, 0.5, 0.975)))
+    # ~89% credible interval for the reference's bar figure
+    # (run_base_model.jl:294-296: quantile(0.5 -+ 0.445))
+    q89 = np.asarray(masked_quantiles(pct, ok, qs=(0.055, 0.945)))
     mu, sigma = EXPTL_PCT_SHP2_BOUND_GAB1
     print(f"% SHP2-bound GAB1: model median {qs[1]:.2f} "
           f"[{qs[0]:.2f}, {qs[2]:.2f}] vs experiment {mu} +- {sigma}")
     common.save_csv(f"{out}/pct_shp2_bound_gab1.csv",
-                    ["q2.5", "median", "q97.5", "exptl_mu", "exptl_sigma"],
-                    [[qs[0], qs[1], qs[2], mu, sigma]])
+                    ["q2.5", "median", "q97.5", "exptl_mu", "exptl_sigma",
+                     "q5.5", "q94.5"],
+                    [[qs[0], qs[1], qs[2], mu, sigma, q89[0], q89[1]]])
+    common.save_bar_comparison(
+        f"{out}/pct_bound_model_vs_expt.png",
+        [("model", qs[1], qs[1] - q89[0], q89[1] - qs[1]),
+         ("Expt", mu, sigma, sigma)],
+        "% SHP2-bound\nGAB1",
+        "Model (89% CI) vs experiment (run_base_model.jl:257-311)")
 
     # --- perturbation sweeps (run_base_model.jl:465-818) ---
     if args.perturb:
