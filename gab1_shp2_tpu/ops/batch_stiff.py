@@ -406,20 +406,42 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
     def solve(fac, b):
         return cr_solve_lanes(fac, b.astype(ls_dtype)).astype(dtype)
 
+    def bands(y, p):
+        """Jacobian bands in the linear-algebra dtype.
+
+        When the linear solve runs narrower than the state (the
+        north-star f64 + f32-linsolve config), the band JVPs run on
+        ls_dtype-cast inputs: W is factored in ls_dtype anyway, so the
+        extra band precision was being discarded while the JVPs paid
+        emulated-f64 VPU arithmetic.  J accuracy only preconditions
+        Newton / the W-method; f32's ~1e-7 band error sits below the
+        f32 factorization rounding (bf16's ~1e-2 did not — see the
+        dead-end note in CLAUDE.md).
+        """
+        if ls_dtype != dtype:
+            y = y.astype(ls_dtype)
+            p = Params(D=p.D.astype(ls_dtype), k=p.k.astype(ls_dtype))
+        L, D_, U = fast_block_jacobian_lanes(system, y, p, r, dr)
+        return (L.astype(ls_dtype), D_.astype(ls_dtype),
+                U.astype(ls_dtype))
+
     ntol = 0.03
     newton_iters = 6
 
-    # Jacobian reuse (TRBDF2 only; sound because for a Newton method
-    # staleness affects only convergence rate, never the converged
-    # solution — the classic QNDF/LSODA economics the reference's
-    # solver gets from SciML).  Only the 38-JVP band refresh is
-    # amortized (age/Newton-failure/leg-change triggered); the W
-    # factorization is rebuilt every step from the cached bands in
-    # ls_dtype — it is cheap next to the JVPs (which run in the state
-    # dtype; emulated-f64 on TPU), and keeping it fresh lets the
-    # standard continuous step controller run unchanged (a deadband
-    # variant that also preserved the factorization cost ~50% more
-    # steps and lost to this scheme at every dtype).
+    # Jacobian reuse (TRBDF2 only, opt-in; sound because for a Newton
+    # method staleness affects only convergence rate, never the
+    # converged solution — the classic QNDF/LSODA economics the
+    # reference's solver gets from SciML).  Only the 38-JVP band
+    # refresh is amortized (age/Newton-failure/leg-change triggered);
+    # the W factorization is rebuilt every step from the cached bands
+    # in ls_dtype — it is cheap next to the JVPs (which run in
+    # ls_dtype, see bands(); emulated-f64 on TPU when ls is f64), and
+    # keeping it fresh lets the standard continuous step controller
+    # run unchanged (a deadband variant that also preserved the
+    # factorization cost ~50% more steps and lost to this scheme at
+    # every dtype).  Since fast_block_jacobian_lanes + ls_dtype-native
+    # bands, fresh J beats reuse at every measured config (see the
+    # default rationale in solve_stiff_batch).
     reuse = bool(jac_reuse) and method == "trbdf2"
     JAC_MAX_AGE = 20
 
@@ -498,16 +520,13 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                                               j_age >= JAC_MAX_AGE)
 
                 def _refresh(_):
-                    L2, D2, U2 = fast_block_jacobian_lanes(
-                        system, y, p, r, dr)
-                    return (L2.astype(ls_dtype), D2.astype(ls_dtype),
-                            U2.astype(ls_dtype), jnp.int32(0))
+                    return bands(y, p) + (jnp.int32(0),)
 
                 Lj, Dj, Uj, j_age = jax.lax.cond(
                     need_refresh, _refresh,
                     lambda _: (Lj, Dj, Uj, j_age), None)
             else:
-                Lj, Dj, Uj = fast_block_jacobian_lanes(system, y, p, r, dr)
+                Lj, Dj, Uj = bands(y, p)
             hb = h[None, None, None, :].astype(ls_dtype)
             hd = h[None, None, :]
 
@@ -630,10 +649,7 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         init = (t, h, y, nts, out_C, out_m, nacc, nrej, failed)
         if reuse:
             # fresh J at leg entry (params changed)
-            L0, D0, U0 = fast_block_jacobian_lanes(system, y, p, r, dr)
-            L0, D0, U0 = (L0.astype(ls_dtype), D0.astype(ls_dtype),
-                          U0.astype(ls_dtype))
-            init = init + (L0, D0, U0, jnp.int32(0), jnp.array(False))
+            init = init + bands(y, p) + (jnp.int32(0), jnp.array(False))
         out = jax.lax.while_loop(cond, body, init)
         return out[:9]
 
@@ -678,24 +694,26 @@ def solve_stiff_batch(
     Drop-in throughput replacement for ``vmap(solve_stiff)``: ``params``
     carries a leading batch axis (B,), ``Co`` is (5,) shared or (B, 5)
     per-lane, and the returned :class:`Solution` / :class:`StiffStats`
-    have a leading batch axis.  With ``jac_reuse=False`` the adaptive
-    trajectories match the vmapped path exactly (same controller
-    arithmetic); ``jac_reuse=True`` (default for float64 TRBDF2)
-    amortizes only the 38-JVP Jacobian *band* refresh across steps
-    (triggered by band age, Newton failure, or a leg change) — the W
-    factorization is rebuilt from the cached bands every step and the
-    standard step controller is used — so solutions agree to the
-    integration tolerance, not bit-for-bit.
+    have a leading batch axis.  With ``jac_reuse=False`` (the default)
+    the adaptive trajectories match the vmapped path exactly (same
+    controller arithmetic); ``jac_reuse=True`` amortizes only the
+    38-JVP Jacobian *band* refresh across steps (triggered by band age,
+    Newton failure, or a leg change) — the W factorization is rebuilt
+    from the cached bands every step and the standard step controller
+    is used — so solutions agree to the integration tolerance, not
+    bit-for-bit.
     """
     if jac_reuse is None:
-        # net win only when Jacobian JVPs are expensive: measured on
-        # v5e at B=256, dr=0.2: f64+f32-linsolve rtol 1e-6 goes
-        # 29 -> 157 solves/s (5.4x, same step count), but f32 rtol
-        # 1e-4 is ~10% slower with reuse (cheap JVPs; the refresh
-        # cond's overhead outweighs them), so reuse defaults on only
-        # for float64 states
-        jac_reuse = (method == "trbdf2"
-                     and jnp.asarray(Co).dtype == jnp.float64)
+        # Historically defaulted on for f64 TRBDF2 (reuse was a 5.4x
+        # win when band JVPs ran through autodiff block_jacobian).
+        # Two later changes made fresh-J cheaper than the refresh
+        # cond's overhead everywhere measured (v5e, B=256, dr=0.2,
+        # rtol 1e-6, 2026-08-17): the structure-aware
+        # fast_block_jacobian_lanes (~4x cheaper JVPs) and ls_dtype-
+        # native band computation (f64+f32-linsolve: reuse 202.6 vs
+        # fresh 230.7 solves/s; full-f64: 32.8 vs 36.0).  Fresh J also
+        # needs slightly fewer accepted steps (597k vs 599k).
+        jac_reuse = False
     Co = jnp.asarray(Co)
     params = Params(D=params.D.astype(Co.dtype), k=params.k.astype(Co.dtype))
     if params.k.ndim != 2:

@@ -165,10 +165,20 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             f_n = f(y)
             # structure-aware Jacobian (see ops/jacobian.py): the
             # lane-minor builder with a unit lane axis; identical to
-            # block_jacobian(f, y) to fp roundoff but ~4x cheaper
-            p1 = Params(D=p.D[None], k=p.k[None])
-            Lj, Dj, Uj = (a[..., 0] for a in fast_block_jacobian_lanes(
-                system, y[..., None], p1, r, dr))
+            # block_jacobian(f, y) to fp roundoff but ~4x cheaper.
+            # Computed natively in ls_dtype when the linear solve runs
+            # narrower than the state (same rationale + trajectory
+            # parity as batch_stiff.bands()).
+            if ls_dtype != dtype:
+                p1 = Params(D=p.D[None].astype(ls_dtype),
+                            k=p.k[None].astype(ls_dtype))
+                yj = y[..., None].astype(ls_dtype)
+            else:
+                p1 = Params(D=p.D[None], k=p.k[None])
+                yj = y[..., None]
+            Lj, Dj, Uj = (a[..., 0].astype(ls_dtype)
+                          for a in fast_block_jacobian_lanes(
+                              system, yj, p1, r, dr))
 
             if method == "trbdf2":
                 fac = factor(-A * h * Lj, eye - A * h * Dj.astype(ls_dtype),

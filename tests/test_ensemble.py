@@ -48,12 +48,12 @@ class TestRunEnsemble:
                                    rtol=1e-12)
         np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
 
-    def test_chunked_default_path_tolerance_level(self):
-        """The default (jac_reuse) path: chunking may change collective
+    def test_chunked_reuse_path_tolerance_level(self):
+        """The jac_reuse=True path: chunking may change collective
         refresh decisions, so agreement is tolerance-level."""
         batch = _small_batch()
         kw = dict(solver="stiff", extract=lambda s: s.PG1Stot[-1],
-                  rtol=1e-4, atol=1e-7, **FAST)
+                  rtol=1e-4, atol=1e-7, jac_reuse=True, **FAST)
         a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
         b, okb = run_ensemble(base_system(), default_co(), batch, chunk=2,
                               **kw)
@@ -162,8 +162,13 @@ class TestSharding:
             system, Co, Params.unpack(batch), **kw)
         assert not bool(np.asarray(ref_stats.failed).any())
         ref = gsa_outputs(ref_sol, 10.0)
+        # rtol: the per-shard local batch is B=4 vs B=32 on one device,
+        # so XLA vectorizes/fuses differently; the adaptive controller
+        # amplifies those last-ulp f32 differences into tolerance-level
+        # output differences (observed max ~1.0e-5, CPU backend).  5e-5
+        # still sits 2x under the rtol=1e-4 integration tolerance.
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-8)
+                                   rtol=5e-5, atol=1e-8)
 
     def test_pad_to_multiple(self):
         from gab1_shp2_tpu.parallel.mesh import pad_to_multiple
