@@ -69,6 +69,7 @@ def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
                         rtol: float = 1e-4, atol: float = 1e-7,
                         chunk: int = 256, method: str = "rosenbrock23",
                         dtype=None, max_steps: int = 2000,
+                        linsolve_dtype=None,
                         ) -> Callable[[np.ndarray], np.ndarray]:
     """Batch evaluator over initial-concentration 5-vectors -> (N, 6)
     (the concentration GSA, ``GSA_concs.jl``)."""
@@ -83,6 +84,7 @@ def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
                                        pb, R=R, dr=dr, tf=tf,
                                        Nts=2, rtol=rtol, atol=atol,
                                        method=method, max_steps=max_steps,
+                                       linsolve_dtype=linsolve_dtype,
                                        return_stats=True)
         out = gsa_outputs(sol, R)
         ok = jnp.logical_and(~stats.failed, jnp.isfinite(out).all(axis=-1))

@@ -40,6 +40,11 @@ def main(argv=None):
                          "corners hit the f32 error floor and zero out "
                          "(~60%% of samples) -- f64 with f32 linear "
                          "algebra is the default")
+    ap.add_argument("--full-f64-linsolve", action="store_true",
+                    help="factor/solve W in float64 too (the pre-"
+                         "round-3 recipe; ~7x slower, outputs agree "
+                         "to p99 rel 1e-4 -- see "
+                         "scripts/probe_gsa_mixed.py)")
     ap.add_argument("--replot", action="store_true",
                     help="regenerate heatmap figures from committed "
                          "artifact CSVs in --outdir (no solves)")
@@ -52,8 +57,16 @@ def main(argv=None):
     solver_kw = dict(max_steps=args.max_steps)
     if args.f32:
         solver_kw["dtype"] = jnp.float32
-    # default: full-f64 rosenbrock23 — the x1000-bounds corners need
-    # accurate stage solves (mixed/f32 fails on most corner samples)
+    # default: f64 rosenbrock23 with f32 linear algebra.  The W-method
+    # keeps its order under a perturbed-but-consistent W̃ (an f32
+    # factorization is exactly that), and with ls_dtype-native band
+    # JVPs the whole linear-algebra block leaves emulated-f64: 7.2x
+    # faster over the eFAST box, 0 extra failures incl. all 16
+    # x1000-bounds stiff-rate corners, p99 output agreement 1e-4
+    # (scripts/probe_gsa_mixed.py, v5e, 2026-08-17).  Full-f32 *state*
+    # remains opt-in-only: corner RHS evaluation underflows there.
+    if not args.full_f64_linsolve and not args.f32:
+        solver_kw["linsolve_dtype"] = jnp.float32
 
     system = (g.memb_sfk_system() if args.target.endswith("membsfk")
               else g.base_system())
@@ -66,8 +79,7 @@ def main(argv=None):
         names = CO_NAMES
         evaluate = make_conc_evaluator(system, params, dr=args.dr,
                                        tf=args.tf, rtol=args.rtol,
-                                       chunk=args.chunk,
-                                       max_steps=args.max_steps)
+                                       chunk=args.chunk, **solver_kw)
     else:
         bounds = dk_bounds(params)
         names = PNAMES

@@ -1,7 +1,9 @@
 #!/bin/bash
 # Full eFAST GSA quartet at the reference configuration (1000 samples/param).
-# f64 rosenbrock23 (the recipe that produced zero failed corners in round 1),
-# lane-minor batch integrator, chunk 128 to stay under the axon 60s watchdog.
+# f64 rosenbrock23 with f32 linear algebra (the round-3 default: 7.2x faster,
+# S1/ST indices agree with the committed full-f64 artifacts to 2e-5, zero
+# failed corners — scripts/probe_gsa_mixed.py), lane-minor batch integrator,
+# chunk 128 to stay under the axon 60s watchdog.
 set -x
 cd /root/repo
 for target in dk dk_membsfk concs concs_membsfk; do

@@ -181,9 +181,9 @@ class TestBatchSolve:
 
 
     def test_jac_reuse_accuracy(self):
-        """The TRBDF2 Jacobian/factorization-reuse path (default) must
-        agree with the exact-refresh path to integration tolerance and
-        lose no lanes.  Staleness only affects Newton convergence, so
+        """The opt-in TRBDF2 Jacobian-band-reuse path must agree with
+        the exact-refresh path (the default) to integration tolerance
+        and lose no lanes.  Staleness only affects Newton convergence, so
         both converge to the same step solutions; trajectories differ
         (Newton iteration counts shift step acceptance) but solutions
         agree to ~rtol."""
@@ -205,8 +205,10 @@ class TestBatchSolve:
         only preconditions Newton (the iteration converges to the exact
         step solution from the f32 residual), so precision costs a few
         extra Newton/step rejections, not accuracy.  NOT valid for
-        Rosenbrock23, whose stage solves enter the solution directly
-        (see ops/trbdf2.py mixed-precision notes)."""
+        Rosenbrock23 at *bf16* precision: its stage solves enter the
+        solution directly, and bf16's ~1e-2 factor perturbation
+        exceeds the rtol-1e-4 budget (an f32 factorization's ~1e-7
+        perturbation does not — see test_f32_linsolve_rosenbrock23)."""
         system = g.base_system()
         Co = g.default_co().astype(jnp.float32)
         pb = _param_batch(6, spread=0.2)
@@ -220,6 +222,28 @@ class TestBatchSolve:
         Cr = np.asarray(ref.C[:, -1], np.float64)
         Cb = np.asarray(b16.C[:, -1], np.float64)
         err = np.max(np.abs(Cb - Cr) / (np.abs(Cr) + 1e-6))
+        assert err < 5e-4, err
+
+    def test_f32_linsolve_rosenbrock23(self):
+        """The GSA production recipe: f64-state Rosenbrock23 with f32
+        linear algebra (bands, factor, stage solves).  A W-method keeps
+        its order under a perturbed-but-consistent W̃; the f32
+        factorization is W + O(1e-7), far inside the rtol budget.
+        Measured on v5e (scripts/probe_gsa_mixed.py): identical step
+        counts, p99 output agreement 1e-4, 0 extra failures at the
+        x1000-bounds eFAST corners, 7.2x faster than full-f64."""
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(6, spread=0.25)
+        kw = dict(dr=0.5, tf=2.0, Nts=2, rtol=1e-4, atol=1e-7,
+                  method="rosenbrock23", return_stats=True)
+        ref, _ = solve_stiff_batch(system, Co, pb, **kw)
+        mix, sm = solve_stiff_batch(system, Co, pb,
+                                    linsolve_dtype=jnp.float32, **kw)
+        assert not np.asarray(sm.failed).any()
+        Cr = np.asarray(ref.C[:, -1], np.float64)
+        Cm = np.asarray(mix.C[:, -1], np.float64)
+        err = np.max(np.abs(Cm - Cr) / (np.abs(Cr) + 1e-6))
         assert err < 5e-4, err
 
     def test_fast_jacobian_matches_colored_jvps(self):
