@@ -58,11 +58,14 @@ def default_argparser(desc: str) -> argparse.ArgumentParser:
                     default="stiff")
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--linsolve", choices=("none", "f32", "bf16"),
-                    default="none",
-                    help="mixed-precision W-factors for the stiff "
-                         "solver (f32/bf16 are exact for TRBDF2's "
-                         "Newton iteration and avoid emulated-f64 "
-                         "linear algebra on TPU)")
+                    default="f32",
+                    help="mixed-precision linear algebra for the stiff "
+                         "solver (default f32: exact for TRBDF2's "
+                         "Newton iteration, validated for Rosenbrock23 "
+                         "at rtol 1e-4 incl. GSA corners — see "
+                         "scripts/probe_gsa_mixed.py — and avoids "
+                         "emulated-f64 linear algebra on TPU; 'none' "
+                         "restores full-f64)")
     ap.add_argument("--outdir", default="images")
     ap.add_argument("--seed", type=int, default=0)
     return ap
