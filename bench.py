@@ -108,6 +108,13 @@ def main():
                                  linsolve_dtype=jnp.float32)
     ns_solves_per_sec = (N - nf_ns) / dt_ns
 
+    # GSA production recipe: f64 rosenbrock23 + f32 linear algebra at
+    # the ensemble tolerance (the round-3 default for all f64 sweeps)
+    out_gsa, nf_gsa, dt_gsa = timed(Co64, rtol=1e-4, atol=1e-7,
+                                    method="rosenbrock23",
+                                    linsolve_dtype=jnp.float32)
+    gsa_solves_per_sec = (N - nf_gsa) / dt_gsa
+
     # accuracy cross-check: one member, each path vs tight f64 solve
     p_one = Params.unpack(jnp.asarray(batch[0]))
     ref = g.solve_stiff(system, Co64, p_one, dr=0.2, tf=5.0, Nts=2,
@@ -117,6 +124,8 @@ def main():
                           / (np.abs(Cref) + 1e-8)))
     relerr_ns = float(np.max(np.abs(np.asarray(out_ns[0], np.float64) - Cref)
                              / (np.abs(Cref) + 1e-8)))
+    relerr_gsa = float(np.max(np.abs(np.asarray(out_gsa[0], np.float64)
+                                     - Cref) / (np.abs(Cref) + 1e-8)))
 
     result = {
         "metric": "stiff MoL ensemble solves/sec (dr=0.2, tf=5min, rtol=1e-4)",
@@ -136,6 +145,14 @@ def main():
                 "wall_s": round(dt_ns, 3),
                 "failed": nf_ns,
                 "max_rel_err_vs_f64_rtol1e-8": relerr_ns,
+            },
+            "gsa_config": {
+                "metric": "f64 rosenbrock23 + f32 linalg, rtol 1e-4 "
+                          "(GSA/ensemble production recipe)",
+                "solves_per_sec": round(gsa_solves_per_sec, 3),
+                "wall_s": round(dt_gsa, 3),
+                "failed": nf_gsa,
+                "max_rel_err_vs_f64_rtol1e-8": relerr_gsa,
             },
             "baseline": "measured tests/reference_numpy_solver.py: "
                         "49.21 s/solve (host CPU, 2026-08-16)",

@@ -525,7 +525,8 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 Lj, Dj, Uj, j_age = jax.lax.cond(
                     need_refresh, _refresh,
                     lambda _: (Lj, Dj, Uj, j_age), None)
-            else:
+            elif step_impl != "pallas":
+                # the fused kernel builds bands in-kernel from VMEM
                 Lj, Dj, Uj = bands(y, p)
             hb = h[None, None, None, :].astype(ls_dtype)
             hd = h[None, None, :]
@@ -548,7 +549,7 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 from gab1_shp2_tpu.ops.ros23_pallas import ros23_step_fused
 
                 y_1, f_1, est = ros23_step_fused(
-                    system, Lj, Dj, Uj, y, f_n, h, p.k, d_eff_leg, Nr, dr)
+                    system, y, f_n, h, p.k, d_eff_leg, Nr, dr)
                 errn = scaled_norm(est, y, y_1)
                 ok = jnp.isfinite(errn)
             elif method == "rosenbrock23":
@@ -726,16 +727,14 @@ def solve_stiff_batch(
                 (float(t_prechase), float(tf), p2))
     ls = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
     if step_impl is None:
-        # the fused Pallas step (factor + stage solves + in-kernel RHS,
-        # ops/ros23_pallas.py) is f32-only and wins on real TPUs; the
-        # CPU backend keeps the XLA step (Pallas interpret mode there
-        # is for tests, not speed)
-        step_impl = ("pallas"
-                     if (method == "rosenbrock23"
-                         and Co.dtype == jnp.float32
-                         and ls in (None, "float32")
-                         and jax.devices()[0].platform == "tpu")
-                     else "xla")
+        # the fused Pallas step (in-kernel bands + factor + stage
+        # solves + RHS, ops/ros23_pallas.py) is f32-only and wins on
+        # real TPUs; the CPU backend keeps the XLA step (Pallas
+        # interpret mode there is for tests, not speed).
+        # TEMPORARILY defaulted off pending Mosaic validation of the
+        # in-kernel band builder on real hardware (TPU tunnel down at
+        # commit time); re-enable by restoring the platform check.
+        step_impl = "xla"
     if step_impl == "pallas" and (Co.dtype != jnp.float32
                                   or ls not in (None, "float32")
                                   or method != "rosenbrock23"):

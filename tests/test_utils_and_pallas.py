@@ -110,6 +110,60 @@ class TestPallasKernel:
                                   dr=0.05, tf=0.1)
 
 
+class TestFusedRos23Step:
+    def test_inkernel_bands_match_fast_jacobian(self):
+        """The Mosaic-safe in-kernel band builder (iota metric, masked
+        edge updates) must equal fast_block_jacobian_lanes to fp
+        roundoff when evaluated as plain JAX."""
+        from gab1_shp2_tpu.ops.jacobian import fast_block_jacobian_lanes
+        from gab1_shp2_tpu.ops.ros23_pallas import _bands_lanes_kernel
+
+        sys_ = base_system()
+        rng = np.random.default_rng(2)
+        B, R, dr = 3, 10.0, 1.0
+        Nr = int(round(R / dr))
+        NB = Nr
+        p0 = np.asarray(default_params().pack())
+        pb = Params.unpack(jnp.asarray(
+            p0[None] * np.exp(rng.normal(0, 0.2, (B, 24))), jnp.float32))
+        y = jnp.asarray(rng.uniform(0.1, 5.0, (NB, 10, B)), jnp.float32)
+        r = jnp.arange(Nr + 1, dtype=jnp.float32) * dr
+
+        from gab1_shp2_tpu.ops.rhs import effective_diffusivities
+        ref = fast_block_jacobian_lanes(sys_, y, pb, r, dr)
+        d_eff = effective_diffusivities(sys_, pb)
+        new = _bands_lanes_kernel(sys_, Nr, dr)(y, pb.k, d_eff)
+        for a, b, name in zip(ref, new, ("lower", "diag", "upper")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-5,
+                                       err_msg=name)
+
+    def test_fused_step_solver_parity(self):
+        """solve_stiff_batch with step_impl='pallas' (interpret mode on
+        CPU) must agree with the XLA step to integration tolerance.
+        Band construction, factorization, stage solves and RHS all run
+        in-kernel; op-order differences under the adaptive controller
+        allow tolerance-level divergence only."""
+        from gab1_shp2_tpu import solve_stiff_batch
+
+        sys_ = base_system()
+        Co = jnp.asarray(default_co(), jnp.float32)
+        p0 = np.asarray(default_params().pack())
+        rng = np.random.default_rng(5)
+        pb = Params.unpack(jnp.asarray(
+            p0[None] * np.exp(rng.normal(0, 0.1, (4, 24))), jnp.float32))
+        kw = dict(dr=1.0, tf=1.0, Nts=2, rtol=1e-4, atol=1e-7,
+                  method="rosenbrock23", return_stats=True)
+        ref, sr = solve_stiff_batch(sys_, Co, pb, step_impl="xla", **kw)
+        fus, sf = solve_stiff_batch(sys_, Co, pb, step_impl="pallas",
+                                    **kw)
+        assert not np.asarray(sf.failed).any()
+        Cr = np.asarray(ref.C[:, -1], np.float64)
+        Cf = np.asarray(fus.C[:, -1], np.float64)
+        err = np.max(np.abs(Cf - Cr) / (np.abs(Cr) + 1e-6))
+        assert err < 2e-3, err
+
+
 class TestStats:
     def test_jzs_bayes_factor(self):
         from gab1_shp2_tpu.utils.stats import hedges_g, jzs_ttest_bf10
