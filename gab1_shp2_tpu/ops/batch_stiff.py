@@ -105,9 +105,13 @@ def even_odd(a: jax.Array):
     ``a[0::2]`` falls back to gather, ``lax.slice`` with stride 2 hits
     ``vector.extract_strided_slice … strides confined to [1, 2)``, and a
     rank-5 ``reshape + [:, i]`` crashes the TPU backend compiler
-    (``Check failed: limits[i] <= dim(i)``) — all measured on v5e.  The
-    block count is <= 32, so the unroll is small, and both XLA and
-    Mosaic lower it to plain tile copies.
+    (``Check failed: limits[i] <= dim(i)``) — all measured on v5e.
+    The first cyclic-reduction level sees NB padded to the next power
+    of two (64 at the production dr=0.2 grid, 128 at dr=0.1), so the
+    top-level unroll is 64-128 single-block slices plus one
+    concatenate per band — cheap tile copies at run time, but a real
+    contributor to trace depth (ops/ros23_pallas.py raises the Python
+    recursion limit for exactly this); deeper levels halve the count.
     """
     n0 = a.shape[0]
     ev = [a[i:i + 1] for i in range(0, n0, 2)]

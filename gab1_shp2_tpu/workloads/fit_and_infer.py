@@ -271,7 +271,13 @@ def _reweight_and_save(args, Co, qs_all, sur, out, tag):
 
     samples = np.exp(Q)
     _save_posterior(out, tag, samples, w, ess=ess)
-    return samples
+    # importance-resample before returning: downstream consumers (the
+    # inline --predictive subsampling) treat the return value as an
+    # unweighted posterior, so hand them one — matching what the
+    # standalone --stage predictive does from the committed CSV
+    ridx = np.random.default_rng(args.seed + 77).choice(
+        len(samples), size=len(samples), replace=True, p=w / w.sum())
+    return samples[ridx]
 
 
 def _save_posterior(out, tag, samples, w, ess=None):
@@ -304,7 +310,10 @@ def _predictive_checks(obs, posterior_samples, args, out, tag=""):
     from gab1_shp2_tpu.models.params import EXPTL_PCT_SHP2_BOUND_GAB1
     from gab1_shp2_tpu.priors.literature import build_priors
 
-    m = args.predictive
+    # --predictive 0 (the default) means "reference draw count" when the
+    # predictive stage itself was requested (predict() uses 500;
+    # param_fitting+inference_finitediff.jl:491-527)
+    m = args.predictive or 500
     rng = np.random.default_rng(args.seed + 7)
     ln = build_priors().lognorm
     prior_draws = np.stack(
@@ -312,7 +321,8 @@ def _predictive_checks(obs, posterior_samples, args, out, tag=""):
     ) if m == 1 else np.stack(
         [rng.lognormal(ln[n][0], ln[n][1], size=m) for n in FIT_NAMES],
         axis=-1)
-    post_idx = rng.choice(len(posterior_samples), size=m, replace=False)
+    post_idx = rng.choice(len(posterior_samples), size=m,
+                          replace=m > len(posterior_samples))
     post_draws = posterior_samples[post_idx]
 
     vobs = jax.jit(jax.vmap(lambda x: obs(jnp.log(x))))

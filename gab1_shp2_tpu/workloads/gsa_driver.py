@@ -50,7 +50,16 @@ def main(argv=None):
                          "artifact CSVs in --outdir (no solves)")
     args = ap.parse_args(argv)
     if args.replot:
-        replot(args.outdir)
+        # the committed GSA artifacts live in results/; only an
+        # explicit --outdir overrides that (the shared argparser's
+        # 'images' default is for figure-emitting drivers)
+        outdir = args.outdir if args.outdir != "images" else "results"
+        import glob as _glob
+
+        if not _glob.glob(f"{outdir}/*_ST.csv"):
+            raise SystemExit(
+                f"--replot: no *_ST.csv artifacts found in {outdir!r}")
+        replot(outdir)
         return
     import jax.numpy as jnp
 

@@ -47,14 +47,16 @@ def main(argv=None):
               Nts=args.nts, rtol=args.rtol, chunk=args.chunk,
               linsolve_dtype=common.linsolve_dtype(args),
               t_prechase=args.t_prechase)
-    pe, ok = run_ensemble(system, Co, ens, extract=lambda s: s.pE, **kw)
+    # one ensemble pass for both observables (extract returns a tuple;
+    # the per-lane validity mask is shared)
+    (pe, qg), ok = run_ensemble(
+        system, Co, ens, extract=lambda s: (s.pE, s.PG1Stot), **kw)
+    okg = ok
     q = np.asarray(masked_quantiles(pe, ok))
     t = np.linspace(0, tf, args.nts + 1)
 
     # rotated-azimuth chase surface of cytosolic GAB1-SHP2
     # (gefitinib_pulse_chase.jl:215-253)
-    qg, okg = run_ensemble(system, Co, ens, extract=lambda s: s.PG1Stot,
-                           **kw)
     qsurf = np.asarray(masked_quantiles(qg, okg))  # (3, Nts+1, Nr+1)
     chase = t >= args.t_prechase - 1e-9
     t_ch = t[chase] - args.t_prechase
