@@ -111,14 +111,18 @@ class TestPallasKernel:
 
 
 class TestFusedRos23Step:
-    def test_inkernel_bands_match_fast_jacobian(self):
+    @pytest.mark.parametrize("variant", ["base", "rect", "memb_sfk"])
+    def test_inkernel_bands_match_fast_jacobian(self, variant):
         """The Mosaic-safe in-kernel band builder (iota metric, masked
         edge updates) must equal fast_block_jacobian_lanes to fp
-        roundoff when evaluated as plain JAX."""
+        roundoff when evaluated as plain JAX, for every system
+        variant."""
+        import gab1_shp2_tpu as g
         from gab1_shp2_tpu.ops.jacobian import fast_block_jacobian_lanes
         from gab1_shp2_tpu.ops.ros23_pallas import _bands_lanes_kernel
 
-        sys_ = base_system()
+        sys_ = {"base": g.base_system, "rect": g.rect_system,
+                "memb_sfk": g.memb_sfk_system}[variant]()
         rng = np.random.default_rng(2)
         B, R, dr = 3, 10.0, 1.0
         Nr = int(round(R / dr))
