@@ -15,7 +15,10 @@ over ~60 s.
 Also measured (reported in details): the **north-star configuration**
 of BASELINE.json — float64 TRBDF2 with float32 linear solves (exact:
 the W-solve is a Newton preconditioner) at rtol 1e-6, agreement
-validated against an rtol-1e-8 float64 reference solve.
+validated against an rtol-1e-8 float64 reference solve — and the
+**GSA/ensemble production recipe** (float64 Rosenbrock23 with float32
+linear algebra at rtol 1e-4; see scripts/probe_gsa_mixed.py for its
+corner validation).
 
 ``vs_baseline`` is the ratio to a *measured* single-solve baseline:
 ``tests/reference_numpy_solver.py`` (the independent scalar
