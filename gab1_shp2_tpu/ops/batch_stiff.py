@@ -731,13 +731,13 @@ def solve_stiff_batch(
                 (float(t_prechase), float(tf), p2))
     ls = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
     if step_impl is None:
-        # the fused Pallas step (in-kernel bands + factor + stage
-        # solves + RHS, ops/ros23_pallas.py) is f32-only and wins on
-        # real TPUs; the CPU backend keeps the XLA step (Pallas
-        # interpret mode there is for tests, not speed).
-        # TEMPORARILY defaulted off pending Mosaic validation of the
-        # in-kernel band builder on real hardware (TPU tunnel down at
-        # commit time); re-enable by restoring the platform check.
+        # XLA on all platforms.  The fused Pallas step (in-kernel
+        # bands + factor + stage solves + RHS, ops/ros23_pallas.py)
+        # was hardware-validated 2026-08-18: correct to 5.8e-5 but
+        # 906.5 vs 1251.7 solves/s at the f32 headline config — the
+        # step is not band-traffic-bound, so the fusion loses to
+        # Mosaic's costlier (10,10)-block arithmetic.  See the
+        # ros23_pallas module docstring for the measurement.
         step_impl = "xla"
     if step_impl == "pallas" and (Co.dtype != jnp.float32
                                   or ls not in (None, "float32")
