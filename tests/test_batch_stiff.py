@@ -246,6 +246,71 @@ class TestBatchSolve:
         err = np.max(np.abs(Cm - Cr) / (np.abs(Cr) + 1e-6))
         assert err < 5e-4, err
 
+    def test_rodas_order_and_step_advantage(self):
+        """The order-3/4 Rosenbrock tableaus (RODAS3/RODAS4) must hit
+        the tolerance AND the order-4 method must need materially fewer
+        steps than the order-2 ones at the same rtol — that step-count
+        gap (steps ~ tol^(-1/(p+1))) is the whole reason the methods
+        exist (the reference's QNDF makes the same trade by varying its
+        BDF order, define_PDESystem_base.jl:288)."""
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(4, spread=0.1)
+        kw = dict(dr=0.5, tf=5.0, Nts=2, return_stats=True)
+        ref, _ = solve_stiff_batch(system, Co, pb, rtol=1e-10, atol=1e-13,
+                                   method="trbdf2", **kw)
+        Cr = np.asarray(ref.C[:, -1], np.float64)
+        steps = {}
+        for m, bound in [("rosenbrock23", 2e-4), ("rodas3", 2e-4),
+                         ("rodas4", 5e-5)]:
+            sol, st = solve_stiff_batch(system, Co, pb, rtol=1e-4,
+                                        atol=1e-7, method=m, **kw)
+            assert not np.asarray(st.failed).any()
+            C = np.asarray(sol.C[:, -1], np.float64)
+            err = np.max(np.abs(C - Cr) / (np.abs(Cr) + 1e-6))
+            assert err < bound, (m, err)
+            steps[m] = int(np.asarray(st.n_accepted).sum())
+        assert steps["rodas4"] < 0.5 * steps["rosenbrock23"], steps
+
+    def test_rodas4_mixed_precision(self):
+        """rodas4 with f32 linear algebra (the production recipe) keeps
+        its order: the stage solves all share one consistent W-tilde =
+        W + O(1e-7), the same argument validated for rosenbrock23
+        (test_f32_linsolve_rosenbrock23)."""
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(4, spread=0.2)
+        kw = dict(dr=0.5, tf=2.0, Nts=2, rtol=1e-6, atol=1e-9,
+                  method="rodas4", return_stats=True)
+        ref, _ = solve_stiff_batch(system, Co, pb, **kw)
+        mix, sm = solve_stiff_batch(system, Co, pb,
+                                    linsolve_dtype=jnp.float32, **kw)
+        assert not np.asarray(sm.failed).any()
+        Cr = np.asarray(ref.C[:, -1], np.float64)
+        Cm = np.asarray(mix.C[:, -1], np.float64)
+        err = np.max(np.abs(Cm - Cr) / (np.abs(Cr) + 1e-6))
+        assert err < 5e-5, err
+
+    def test_rodas4_pulse_chase_and_dense_output(self):
+        """Two-leg (kp-event) integration and the lazily-evaluated
+        f(y_1) Hermite dense output: rodas4 snapshots on a fine save
+        grid must track a tight trbdf2 reference at every save time,
+        not just tf."""
+        system = g.base_system()
+        Co = g.default_co()
+        pb = _param_batch(3, spread=0.1)
+        kw = dict(dr=0.5, tf=7.0, Nts=14, t_prechase=5.0,
+                  return_stats=True)
+        ref, _ = solve_stiff_batch(system, Co, pb, rtol=1e-9, atol=1e-12,
+                                   method="trbdf2", **kw)
+        sol, st = solve_stiff_batch(system, Co, pb, rtol=1e-5, atol=1e-8,
+                                    method="rodas4", **kw)
+        assert not np.asarray(st.failed).any()
+        Cr = np.asarray(ref.C, np.float64)    # (B, Nts+1, 10, Nr+1)
+        Cs = np.asarray(sol.C, np.float64)
+        err = np.max(np.abs(Cs - Cr) / (np.abs(Cr).max() + 1e-6))
+        assert err < 1e-4, err
+
     def test_fast_jacobian_matches_colored_jvps(self):
         """fast_block_jacobian_lanes (analytic stencil + pointwise
         reaction JVPs + boundary jacfwd) must equal the 38-colored-JVP
