@@ -6,19 +6,22 @@ configuration (dr=0.2, tf=5 min, reltol 1e-4;
 ``get_param_posteriors.jl:135-168``, ``define_PDESystem_base.jl:288``).
 
 Production configuration: the batch-aware lane-minor integrator
-(``ops/batch_stiff.py``) — float32 Rosenbrock23 with block-cyclic-
-reduction linear algebra laid out with the ensemble axis minor, so the
-(10, 10) Newton blocks fill full TPU vector tiles.  Dispatches are
-chunked at 256 members: the axon TPU runtime kills single executions
-over ~60 s.
+(``ops/batch_stiff.py``) — float32 RODAS4 (order-4 L-stable
+Rosenbrock) with block-cyclic-reduction linear algebra laid out with
+the ensemble axis minor, so the (10, 10) stage blocks fill full TPU
+vector tiles.  Dispatches are chunked at 256 members: the axon TPU
+runtime kills single executions over ~60 s.  RODAS4 replaced
+Rosenbrock23 as the default after measuring 1435 vs 1050 solves/s at
+this config (2.7x fewer steps at ~2x the per-step solves) with 4x
+better accuracy; scripts/bench_rodas4.py reproduces the comparison.
 
 Also measured (reported in details): the **north-star configuration**
-of BASELINE.json — float64 TRBDF2 with float32 linear solves (exact:
-the W-solve is a Newton preconditioner) at rtol 1e-6, agreement
-validated against an rtol-1e-8 float64 reference solve — and the
-**GSA/ensemble production recipe** (float64 Rosenbrock23 with float32
-linear algebra at rtol 1e-4; see scripts/probe_gsa_mixed.py for its
-corner validation).
+of BASELINE.json — float64 state at rtol 1e-6 with float32 linear
+solves (exact for a W-method: the stage solves share one consistent
+W-tilde), agreement validated against an rtol-1e-8 float64 reference
+solve — and the **GSA/ensemble production recipe** (float64 RODAS4
+with float32 linear algebra at rtol 1e-4; see
+scripts/probe_gsa_mixed.py for the recipe's corner validation).
 
 ``vs_baseline`` is the ratio to a *measured* single-solve baseline:
 ``tests/reference_numpy_solver.py`` (the independent scalar
@@ -100,21 +103,21 @@ def main():
         dt = time.time() - t0
         return out, int(np.asarray(failed).sum()), dt
 
-    # headline: f32 rosenbrock23, rtol 1e-4 (round-1-comparable metric)
+    # headline: f32 rodas4, rtol 1e-4 (round-1-comparable metric)
     out, n_failed, dt = timed(Co32, rtol=1e-4, atol=1e-7,
-                              method="rosenbrock23")
+                              method="rodas4")
     solves_per_sec = (N - n_failed) / dt
 
-    # north star: f64 TRBDF2 + f32 linear solves at rtol 1e-6
+    # north star: f64 rodas4 + f32 linear solves at rtol 1e-6
     out_ns, nf_ns, dt_ns = timed(Co64, rtol=1e-6, atol=1e-9,
-                                 method="trbdf2",
+                                 method="rodas4",
                                  linsolve_dtype=jnp.float32)
     ns_solves_per_sec = (N - nf_ns) / dt_ns
 
-    # GSA production recipe: f64 rosenbrock23 + f32 linear algebra at
-    # the ensemble tolerance (the round-3 default for all f64 sweeps)
+    # GSA production recipe: f64 rodas4 + f32 linear algebra at the
+    # ensemble tolerance (the round-3 default for all f64 sweeps)
     out_gsa, nf_gsa, dt_gsa = timed(Co64, rtol=1e-4, atol=1e-7,
-                                    method="rosenbrock23",
+                                    method="rodas4",
                                     linsolve_dtype=jnp.float32)
     gsa_solves_per_sec = (N - nf_gsa) / dt_gsa
 
@@ -139,18 +142,18 @@ def main():
             "N": N,
             "wall_s": round(dt, 3),
             "failed": n_failed,
-            "method": "batch-aware lane-minor rosenbrock23+cyclic-reduction,"
+            "method": "batch-aware lane-minor rodas4+cyclic-reduction,"
                       " float32",
             "max_rel_err_vs_f64_rtol1e-8": relerr,
             "north_star": {
-                "metric": "f64 TRBDF2 + f32 linsolve, rtol 1e-6",
+                "metric": "f64 rodas4 + f32 linsolve, rtol 1e-6",
                 "solves_per_sec": round(ns_solves_per_sec, 3),
                 "wall_s": round(dt_ns, 3),
                 "failed": nf_ns,
                 "max_rel_err_vs_f64_rtol1e-8": relerr_ns,
             },
             "gsa_config": {
-                "metric": "f64 rosenbrock23 + f32 linalg, rtol 1e-4 "
+                "metric": "f64 rodas4 + f32 linalg, rtol 1e-4 "
                           "(GSA/ensemble production recipe)",
                 "solves_per_sec": round(gsa_solves_per_sec, 3),
                 "wall_s": round(dt_gsa, 3),

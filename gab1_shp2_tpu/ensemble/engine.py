@@ -51,7 +51,7 @@ def run_ensemble(
     t_prechase: Optional[float] = None,
     chunk: Optional[int] = None,
     device_axis=None,
-    method: str = "trbdf2",
+    method: str = "rodas4",
     linsolve_dtype=None,
     max_steps: int = 20_000,
     jac_reuse=None,

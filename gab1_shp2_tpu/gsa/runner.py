@@ -36,7 +36,7 @@ GSA_VAR_NAMES = ("r_1/2, SFK", "r_1/10, SFK", "r_1/2, pG1S2",
 def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
                          R: float = 10.0, dr: float = 0.2, tf: float = 5.0,
                          rtol: float = 1e-4, atol: float = 1e-7,
-                         chunk: int = 256, method: str = "rosenbrock23",
+                         chunk: int = 256, method: str = "rodas4",
                          dtype=None, max_steps: int = 2000,
                          linsolve_dtype=None,
                          ) -> Callable[[np.ndarray], np.ndarray]:
@@ -67,7 +67,7 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
 def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
                         R: float = 10.0, dr: float = 0.2, tf: float = 5.0,
                         rtol: float = 1e-4, atol: float = 1e-7,
-                        chunk: int = 256, method: str = "rosenbrock23",
+                        chunk: int = 256, method: str = "rodas4",
                         dtype=None, max_steps: int = 2000,
                         linsolve_dtype=None,
                         ) -> Callable[[np.ndarray], np.ndarray]:

@@ -814,6 +814,19 @@ def solve_stiff_batch(
     from the cached bands every step and the standard step controller
     is used — so solutions agree to the integration tolerance, not
     bit-for-bit.
+
+    ``method`` selects the stepper: ``"trbdf2"`` (default; matches the
+    vmapped ``solve_stiff`` trajectories), ``"rosenbrock23"`` (order-2
+    W-method, one factor + 3 solves), ``"rodas3"`` / ``"rodas4"``
+    (order-3/4 L-stable stiffly-accurate Rosenbrock, one factor + 4/6
+    solves).  ``rodas4`` is the production default upstream (ensemble
+    engine, GSA runner, bench): at rtol 1e-4 it takes ~2.7x fewer
+    steps than rosenbrock23 for ~2x the per-step solves and lands an
+    order of magnitude closer to the true solution — measured 1435 vs
+    1050 solves/s f32 and 568 vs 243 solves/s at the f64 rtol-1e-6
+    north star (v5e, 2026-08-18, scripts/bench_rodas4.py).
+    ``jac_reuse`` applies to trbdf2 only (ROW stage solves need the
+    current J for their order; the reuse flag is ignored elsewhere).
     """
     if jac_reuse is None:
         # Historically defaulted on for f64 TRBDF2 (reuse was a 5.4x

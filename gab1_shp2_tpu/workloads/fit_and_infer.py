@@ -220,7 +220,7 @@ def _run_nuts_surrogate(args, Co, x_map, out, tag):
     else:
         lo, hi = prior_box()
         batch_obs = make_batch_observable(
-            Co=Co, dr=args.dr, rtol=args.rtol, method="trbdf2",
+            Co=Co, dr=args.dr, rtol=args.rtol, method="rodas4",
             linsolve_dtype=jnp.float32, max_steps=4000, chunk=args.chunk)
         print(f"building surrogate: {args.grid_n}^4 = "
               f"{args.grid_n**4} grid solves ...", flush=True)
@@ -253,7 +253,7 @@ def _reweight_and_save(args, Co, qs_all, sur, out, tag):
     Q = np.asarray(qs_all).reshape(-1, 4)
     print(f"exact reweighting pass: {len(Q)} PDE solves ...", flush=True)
     batch_obs = make_batch_observable(
-        Co=Co, dr=args.dr, rtol=1e-6, atol=1e-9, method="trbdf2",
+        Co=Co, dr=args.dr, rtol=1e-6, atol=1e-9, method="rodas4",
         linsolve_dtype=jnp.float32, max_steps=40_000, chunk=args.chunk)
     y_exact = batch_obs(Q)
     y_sur = np.asarray(jax.vmap(sur.y)(jnp.asarray(Q)))

@@ -66,13 +66,14 @@ def main(argv=None):
     solver_kw = dict(max_steps=args.max_steps)
     if args.f32:
         solver_kw["dtype"] = jnp.float32
-    # default: f64 rosenbrock23 with f32 linear algebra.  The W-method
-    # keeps its order under a perturbed-but-consistent W̃ (an f32
-    # factorization is exactly that), and with ls_dtype-native band
-    # JVPs the whole linear-algebra block leaves emulated-f64: 7.2x
-    # faster over the eFAST box, 0 extra failures incl. all 16
-    # x1000-bounds stiff-rate corners, p99 output agreement 1e-4
-    # (scripts/probe_gsa_mixed.py, v5e, 2026-08-17).  Full-f32 *state*
+    # default: f64 RODAS4 with f32 linear algebra.  The Rosenbrock
+    # stage solves keep their order under a perturbed-but-consistent
+    # W-tilde (an f32 factorization is exactly that), and with
+    # ls_dtype-native band JVPs the whole linear-algebra block leaves
+    # emulated-f64: 7.2x faster over the eFAST box, 0 extra failures
+    # incl. all 16 x1000-bounds stiff-rate corners, p99 output
+    # agreement 1e-4 (scripts/probe_gsa_mixed.py, v5e, 2026-08-17
+    # ros23; re-validated with rodas4 2026-08-18).  Full-f32 *state*
     # remains opt-in-only: corner RHS evaluation underflows there.
     if not args.full_f64_linsolve and not args.f32:
         solver_kw["linsolve_dtype"] = jnp.float32

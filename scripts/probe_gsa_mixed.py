@@ -1,5 +1,8 @@
-"""Probe: can the GSA production recipe (ros23 f64, rtol 1e-4) run its
-linear algebra in f32 at the x1000-bounds corners?
+"""Probe: can the GSA production recipe (f64 Rosenbrock, rtol 1e-4) run
+its linear algebra in f32 at the x1000-bounds corners?
+
+Usage: python scripts/probe_gsa_mixed.py [method]   (default rodas4;
+2026-08-17 validated rosenbrock23, 2026-08-18 rodas4.)
 
 Samples the eFAST search-curve distribution (the same log-bounds design
 the production drivers use) plus the 2^k-style extreme corners of the
@@ -28,6 +31,7 @@ from gab1_shp2_tpu.models.observables import gsa_outputs
 from gab1_shp2_tpu.models.params import Params
 
 CHUNK = 256
+METHOD = sys.argv[1] if len(sys.argv) > 1 else "rodas4"
 
 
 def run(batch, Co, **kw):
@@ -41,7 +45,7 @@ def run(batch, Co, **kw):
         p = Params.unpack(jnp.asarray(b, Co.dtype))
         sol, st = g.solve_stiff_batch(g.base_system(), Co, p, dr=0.2,
                                       tf=5.0, Nts=2, rtol=1e-4, atol=1e-7,
-                                      method="rosenbrock23",
+                                      method=METHOD,
                                       max_steps=2500,
                                       return_stats=True, **kw)
         out = np.asarray(gsa_outputs(sol, 10.0), np.float64)
