@@ -75,12 +75,15 @@ def make_observable_fn(
     tf: float = 5.0,
     rtol: float = 1e-4,
     atol: float = 1e-7,
+    method: str = "trbdf2",
 ) -> Callable[[jax.Array], jax.Array]:
     """Returns ``f(log_k4) -> pct_shp2_bound_gab1`` via the stiff solve.
 
     Default configuration mirrors the reference fit (dr=0.2, tf=5;
     the likelihood's solver tolerance ``rtol=1e-4`` as in
-    ``turing_model``'s ``rtol`` kwarg)."""
+    ``turing_model``'s ``rtol`` kwarg).  ``method`` keeps the
+    committed-artifact default (trbdf2); ``"rodas4"`` solves the same
+    objective in ~2-3x fewer steps (AD-validated)."""
     system = system or base_system()
     Co = default_co() if Co is None else Co
     base = base or default_params(fit="prior")
@@ -88,7 +91,7 @@ def make_observable_fn(
     def observable(log_k4: jax.Array) -> jax.Array:
         p = set_fitted(base, log_k4)
         sol = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf, Nts=2,
-                          rtol=rtol, atol=atol)
+                          rtol=rtol, atol=atol, method=method)
         return pct_shp2_bound_gab1(sol, Co, R)
 
     return observable
