@@ -37,7 +37,8 @@ from gab1_shp2_tpu.ops.jacobian import fast_block_jacobian_lanes
 
 B = 256
 R, dr = 10.0, 0.2
-ITERS = 20
+ITERS = 1000   # one dispatch per loop; large so the axon tunnel's
+               # ~25 ms round-trip latency amortizes to noise
 MODE = sys.argv[1] if len(sys.argv) > 1 else "f32"
 
 
@@ -100,7 +101,8 @@ def main():
     def loop_factor(hL, hD, hU):
         def body(i, acc):
             fac = cr_factor_lanes(hL + acc * 1e-30, hD, hU)
-            return acc + fac[0][0, 0, 0].astype(ls)
+            leaf = jax.tree_util.tree_leaves(fac)[0]
+            return acc + leaf.ravel()[0].astype(ls)
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), ls))
 
     fac = cr_factor_lanes(hL, hD, hU)
