@@ -48,6 +48,22 @@ class TestRunEnsemble:
                                    rtol=1e-12)
         np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
 
+    def test_cost_sorted_schedule_is_bitwise_order_insensitive(self):
+        """Pilot-fit cost-sorted chunking (engine._run_stiff_cost_sorted)
+        reorders lanes across chunks; per-lane results must be bitwise
+        independent of chunk membership.  jac_reuse=True disables the
+        sort (collective refresh votes) but is a no-op flag for ROW
+        methods, so both runs integrate identically — only the schedule
+        differs."""
+        batch = _small_batch(n=12, sigma=0.3)
+        kw = dict(solver="stiff", extract=lambda s: s.PG1Stot[-1],
+                  rtol=1e-4, atol=1e-7, method="rodas4", chunk=4, **FAST)
+        a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch,
+                              jac_reuse=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+
     def test_chunked_reuse_path_tolerance_level(self):
         """The jac_reuse=True path: chunking may change collective
         refresh decisions, so agreement is tolerance-level."""
