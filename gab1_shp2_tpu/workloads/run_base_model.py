@@ -109,9 +109,127 @@ def main(argv=None):
         common.save_csv(f"{out}/perturbation_pct_bound.csv",
                         ["param", "factor", "pct_shp2_bound_gab1"], rows)
         print(f"perturbation sweep written ({len(rows)} rows)")
+        perturbation_profiles(system, Co, base, out, kw)
 
     if args.scales:
         _scales_analysis(ens, g.default_params(), out)
+
+
+def _profile_extract(s):
+    """tf profiles of total GAB1-SHP2 and total pGAB1 (module-level so
+    repeated run_ensemble calls share the lru-cached chunk solver)."""
+    return jnp.stack([s.PG1Stot[-1], s.PG1tot[-1]])
+
+
+def _co_scaled(Co, species: str, factor: float):
+    """Scale one initial concentration by name (``run_base_model.jl``
+    ``pert_Cind`` regex matching: "SHP2" -> CoS2, "EGFR" -> CoEGFR)."""
+    from gab1_shp2_tpu.models.species import CO_NAMES
+
+    i = CO_NAMES.index(species)
+    return Co.at[i].multiply(factor)
+
+
+def perturbation_profiles(system, Co, base, out, kw, R=10.0):
+    """Steady-state perturbation studies with normalized spatial-profile
+    outputs (``run_base_model.jl:465-818``).
+
+    Five studies, each reporting max-normalized PG1Stot ("PG1S") and
+    PG1tot ("PG1") profiles at tf per condition:
+
+    - diffusivity: Dsfk x [0.01, 1] (``:476-506``)
+    - kinetic: kS2r x [0.01, 1, 100] (``:514-553``)
+    - joint kinetic + concentration: {kSi, kG1dp} x [1, 100] with
+      [SHP2] x [1, 10], dropping the unperturbed-k/10x-Co rows as the
+      reference does (``:560-645``, Co-perturbation intent ``:467-469``)
+    - joint kinetic + diffusivity: {kS2r, kG1dp} x [1, 0.01] with
+      Dsfk x [1, 0.01] (``:655-745``)
+    - concentration only: [EGFR] x [0.001, 0.01, 0.1, 1] (``:752-811``)
+
+    Conditions within a study that share one ``Co`` are batched through
+    the ensemble engine (the reference threads each solve;
+    ``Threads.@threads`` at ``:478``); per-``Co`` groups are separate
+    dispatches because ``Co`` is a shared traced argument.
+    """
+    from gab1_shp2_tpu.ensemble.engine import run_ensemble
+
+    def solve_profiles(Co_j, conditions):
+        """conditions: list of (label, Params). Returns rows + figure
+        series dicts for both observables."""
+        batch = Params(
+            D=jnp.stack([p.D for _, p in conditions]),
+            k=jnp.stack([p.k for _, p in conditions]))
+        prof, okp = run_ensemble(system, Co_j, batch,
+                                 extract=_profile_extract, **kw)
+        prof, okp = np.asarray(prof), np.asarray(okp)
+        # max-normalize each profile (run_base_model.jl:484-485)
+        prof = prof / prof.max(axis=-1, keepdims=True)
+        return [(lab, prof[i, 0], prof[i, 1], bool(okp[i]))
+                for i, (lab, _) in enumerate(conditions)]
+
+    r = np.arange(prof_len := int(round(R / kw.get("dr", 0.2))) + 1) \
+        * kw.get("dr", 0.2)
+
+    def write_study(name, results, title):
+        rows = []
+        for lab, pg1s, pg1, okc in results:
+            if not okc:
+                pg1s = pg1 = np.full_like(r, np.nan)
+            for j in range(prof_len):
+                rows.append([lab, r[j], pg1s[j], pg1[j]])
+        common.save_csv(f"{out}/perturbation_profiles_{name}.csv",
+                        ["condition", "r_um", "PG1S_norm", "PG1_norm"],
+                        rows)
+        common.save_line_plot(
+            f"{out}/perturbation_PG1S_{name}.png", r,
+            {lab: pg1s for lab, pg1s, _, okc in results if okc},
+            "r (um)", "norm. GAB1-SHP2", title)
+        common.save_line_plot(
+            f"{out}/perturbation_pGAB1_{name}.png", r,
+            {lab: pg1 for lab, _, pg1, okc in results if okc},
+            "r (um)", "norm. pGAB1", title)
+
+    # 1. diffusivity study: Dsfk x [0.01, 1] (:480 pert_vecD)
+    res = solve_profiles(Co, [(f"{f:g}-fold", base.scale(Dsfk=f))
+                              for f in (1.0, 0.01)])
+    write_study("Dsfk", res, "Dsfk sensitivity")
+
+    # 2. kinetic study: kS2r x [0.01, 1, 100] (:521 pert_vec)
+    res = solve_profiles(Co, [(f"{f:g}-fold", base.scale(kS2r=f))
+                              for f in (1.0, 0.01, 100.0)])
+    write_study("kS2r", res, "kS2r sensitivity")
+
+    # 3. joint k + [SHP2] (:563-605): conditions base / 100x kSi /
+    # 100x kG1dp at 1x Co, then 100x kSi / 100x kG1dp at 10x [SHP2]
+    # (the reference drops pertk==1x && pertC==10x at :612)
+    res = solve_profiles(Co, [
+        ("base model", base),
+        ("100x kSi", base.scale(kSi=100.0)),
+        ("100x kG1dp", base.scale(kG1dp=100.0))])
+    res += solve_profiles(_co_scaled(Co, "CoS2", 10.0), [
+        ("100x kSi; 10x [SHP2]", base.scale(kSi=100.0)),
+        ("100x kG1dp; 10x [SHP2]", base.scale(kG1dp=100.0))])
+    write_study("kSi-kG1dp_SHP2", res, "k + [SHP2] perturbations")
+
+    # 4. joint k + Dsfk (:655-712): {kS2r, kG1dp} x 0.01 at 1x and
+    # 0.01x Dsfk (the base-k rows collapse to one per Dsfk level)
+    res = solve_profiles(Co, [
+        ("base model", base),
+        ("0.01x kS2r", base.scale(kS2r=0.01)),
+        ("0.01x kG1dp", base.scale(kG1dp=0.01))])
+    res += solve_profiles(Co, [
+        ("0.01x Dsfk", base.scale(Dsfk=0.01)),
+        ("0.01x kS2r; 0.01x Dsfk", base.scale(kS2r=0.01, Dsfk=0.01)),
+        ("0.01x kG1dp; 0.01x Dsfk", base.scale(kG1dp=0.01, Dsfk=0.01))])
+    write_study("kS2r-kG1dp_Dsfk", res, "k + Dsfk perturbations")
+
+    # 5. concentration study: [EGFR] x [0.001, 0.01, 0.1, 1] (:771)
+    res = []
+    for f in (1.0, 0.1, 0.01, 0.001):
+        res += solve_profiles(_co_scaled(Co, "CoEGFR", f),
+                              [(f"{f:g}x [EGFR]", base)])
+    write_study("EGFR", res, "[EGFR] sensitivity")
+    print("perturbation profile studies written (5 CSVs + 10 figures)")
 
 
 def _scales_analysis(ens, base, out):

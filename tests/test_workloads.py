@@ -24,6 +24,55 @@ def test_run_base_model_small(tmp_path):
     assert 0 < vals[1] < 100  # median % bound in range
 
 
+def test_perturbation_profiles(tmp_path):
+    """The five profile-level perturbation studies
+    (run_base_model.jl:465-818) at a tiny config: every study CSV has
+    max-normalized (peak == 1), in-range profiles for both observables,
+    with the reference's condition sets."""
+    import jax.numpy as jnp
+
+    import gab1_shp2_tpu as g
+    from gab1_shp2_tpu.workloads.run_base_model import perturbation_profiles
+
+    out = str(tmp_path)
+    kw = dict(solver="stiff", dr=0.5, tf=0.5, Nts=2, rtol=1e-3,
+              chunk=8, linsolve_dtype=None)
+    perturbation_profiles(g.base_system(), g.default_co(),
+                          g.default_params(), out, kw)
+    import csv
+
+    expected = {
+        "Dsfk": {"1-fold", "0.01-fold"},
+        "kS2r": {"1-fold", "0.01-fold", "100-fold"},
+        "kSi-kG1dp_SHP2": {"base model", "100x kSi", "100x kG1dp",
+                           "100x kSi; 10x [SHP2]",
+                           "100x kG1dp; 10x [SHP2]"},
+        "kS2r-kG1dp_Dsfk": {"base model", "0.01x kS2r", "0.01x kG1dp",
+                            "0.01x Dsfk", "0.01x kS2r; 0.01x Dsfk",
+                            "0.01x kG1dp; 0.01x Dsfk"},
+        "EGFR": {"1x [EGFR]", "0.1x [EGFR]", "0.01x [EGFR]",
+                 "0.001x [EGFR]"},
+    }
+    for name, conds in expected.items():
+        path = f"{out}/perturbation_profiles_{name}.csv"
+        assert os.path.exists(path), name
+        with open(path) as fh:
+            rows = list(csv.DictReader(fh))
+        got = {}
+        for row in rows:
+            got.setdefault(row["condition"], []).append(
+                (float(row["PG1S_norm"]), float(row["PG1_norm"])))
+        assert set(got) == conds, name
+        for cond, vals in got.items():
+            a = np.asarray(vals)
+            assert a.shape[0] == 21  # R/dr + 1 radial nodes
+            assert np.all((a >= 0) & (a <= 1 + 1e-6)), (name, cond)
+            # max-normalized: each profile peaks at exactly 1
+            np.testing.assert_allclose(a.max(axis=0), 1.0, rtol=1e-6)
+        assert os.path.exists(f"{out}/perturbation_PG1S_{name}.png")
+        assert os.path.exists(f"{out}/perturbation_pGAB1_{name}.png")
+
+
 def test_plot_parameter_distributions(tmp_path):
     from gab1_shp2_tpu.workloads import plot_parameter_distributions
 
