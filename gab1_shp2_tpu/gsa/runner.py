@@ -132,10 +132,16 @@ def _chunked_batch(batch_fn, chunk: int):
 def run_efast(evaluate: Callable[[np.ndarray], np.ndarray],
               bounds: np.ndarray, *, samples: int = 1000,
               num_harmonics: int = 4, log_space: bool = True,
+              resamples: int = 1,
               seed: int = 123) -> Tuple[np.ndarray, np.ndarray, EFASTDesign]:
-    """Full eFAST sweep: design -> batched evaluation -> (S1, ST)."""
+    """Full eFAST sweep: design -> batched evaluation -> (S1, ST).
+
+    ``resamples > 1`` draws that many random-phase search curves per
+    parameter and pools their spectra (see
+    :func:`gab1_shp2_tpu.gsa.efast.efast_indices`), cutting estimator
+    variance at proportionally more model evaluations."""
     design = efast_design(bounds, samples, num_harmonics=num_harmonics,
-                          log_space=log_space,
+                          log_space=log_space, resamples=resamples,
                           rng=np.random.default_rng(seed))
     Y = evaluate(design.X)
     _log_dropped(Y)

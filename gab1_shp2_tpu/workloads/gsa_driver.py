@@ -101,8 +101,11 @@ def main(argv=None):
         S1, ST, design = run_efast(evaluate, bounds,
                                    samples=args.samples,
                                    num_harmonics=4,
+                                   resamples=args.resamples,
                                    seed=args.seed + 123)
         tag = f"eFAST_{args.target}_{args.samples}spls"
+        if args.resamples > 1:
+            tag += f"_{args.resamples}rs"
     else:
         S1, ST, design = run_sobol(evaluate, bounds, n=args.samples,
                                    seed=args.seed + 123)

@@ -168,9 +168,13 @@ class TestReferenceRankings:
             assert top_ref == top_mine, (top_ref, top_mine)
             return
 
-        for col, min_rho in (("[pG1S2]_average", 0.6),
-                             ("[pG1S2]_cent:surf", 0.6),
-                             ("r_1/2, pG1S2", 0.6)):
+        # thresholds tightened to what the committed rodas4-regenerated
+        # artifacts support (measured 2026-08-19: average 0.84/0.91,
+        # r_1/2 0.90/0.92, cent:surf 0.85/0.73 for dk/dk_membsfk) so a
+        # substantive estimator regression actually trips the gate
+        for col, min_rho in (("[pG1S2]_average", 0.8),
+                             ("[pG1S2]_cent:surf", 0.7),
+                             ("r_1/2, pG1S2", 0.85)):
             a = mine[col].reindex(ref.index).values
             rho = spearmanr(a, ref[col].values).statistic
             assert rho > min_rho, (col, rho)
