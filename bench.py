@@ -85,40 +85,44 @@ def main():
     batch[:, 21] = p0[21]  # EGF held fixed, as in the reference ensembles
 
     def run_chunks(Co, pbatch, **kw):
-        outs, fails = [], []
+        outs, fails, steps = [], [], 0
         for s in range(0, N, CHUNK):
             pb = Params.unpack(jnp.asarray(pbatch[s:s + CHUNK], Co.dtype))
             sol, stats = solve_stiff_batch(system, Co, pb, dr=0.2, tf=5.0,
                                            Nts=2, return_stats=True, **kw)
             outs.append(sol.C[:, -1])
             fails.append(stats.failed)
-        return (jnp.concatenate(outs), jnp.concatenate(fails))
+            # lanes advance in sync: a chunk's while_loop runs until its
+            # slowest lane finishes, so loop trip count = per-lane max
+            steps += int(np.asarray(stats.n_accepted
+                                    + stats.n_rejected).max())
+        return jnp.concatenate(outs), jnp.concatenate(fails), steps
 
     def timed(Co, **kw):
-        out, failed = run_chunks(Co, batch, **kw)     # warmup/compile
+        out, failed, steps = run_chunks(Co, batch, **kw)  # warmup/compile
         out.block_until_ready()
         t0 = time.time()
-        out, failed = run_chunks(Co, batch, **kw)
+        out, failed, steps = run_chunks(Co, batch, **kw)
         out.block_until_ready()
         dt = time.time() - t0
-        return out, int(np.asarray(failed).sum()), dt
+        return out, int(np.asarray(failed).sum()), dt, steps
 
     # headline: f32 rodas4, rtol 1e-4 (round-1-comparable metric)
-    out, n_failed, dt = timed(Co32, rtol=1e-4, atol=1e-7,
-                              method="rodas4")
+    out, n_failed, dt, hl_steps = timed(Co32, rtol=1e-4, atol=1e-7,
+                                        method="rodas4")
     solves_per_sec = (N - n_failed) / dt
 
     # north star: f64 rodas4 + f32 linear solves at rtol 1e-6
-    out_ns, nf_ns, dt_ns = timed(Co64, rtol=1e-6, atol=1e-9,
-                                 method="rodas4",
-                                 linsolve_dtype=jnp.float32)
+    out_ns, nf_ns, dt_ns, _ = timed(Co64, rtol=1e-6, atol=1e-9,
+                                    method="rodas4",
+                                    linsolve_dtype=jnp.float32)
     ns_solves_per_sec = (N - nf_ns) / dt_ns
 
     # GSA production recipe: f64 rodas4 + f32 linear algebra at the
     # ensemble tolerance (the round-3 default for all f64 sweeps)
-    out_gsa, nf_gsa, dt_gsa = timed(Co64, rtol=1e-4, atol=1e-7,
-                                    method="rodas4",
-                                    linsolve_dtype=jnp.float32)
+    out_gsa, nf_gsa, dt_gsa, _ = timed(Co64, rtol=1e-4, atol=1e-7,
+                                       method="rodas4",
+                                       linsolve_dtype=jnp.float32)
     gsa_solves_per_sec = (N - nf_gsa) / dt_gsa
 
     # accuracy cross-check: one member, each path vs tight f64 solve
@@ -132,6 +136,33 @@ def main():
                              / (np.abs(Cref) + 1e-8)))
     relerr_gsa = float(np.max(np.abs(np.asarray(out_gsa[0], np.float64)
                                      - Cref) / (np.abs(Cref) + 1e-8)))
+
+    # --- analytic roofline for the headline config (VERDICT-r3 item 7):
+    # an auditable HBM-traffic/FLOP model per integrator step, from the
+    # step's structure alone (NB=Nr+1 block rows, B lanes, n=10 species,
+    # f32).  Per RODAS4 step the block-tridiagonal band arrays (3 (n,n)
+    # blocks per node row) dominate traffic:
+    #   J build:  write 3 bands once ................ 1x band_bytes
+    #   W factor (block cyclic reduction): read J +
+    #     read/write reduced levels (NB*(1+1/2+...) ~
+    #     2*NB block rows, each read+written) ........ 4x band_bytes
+    #   6 stage solves: each reads the factors in a
+    #     forward + a backward sweep ................. 12x band_bytes
+    #   6 RHS evals + stage/controller vector ops .... ~20x state_bytes
+    # FLOPs: factor ~ 2*NB rows x (2/3 n^3 LU + ~4 block multiply-adds
+    # at 2n^3) per row; solves ~ 6 x 2 sweeps x 2*NB block matvecs at
+    # 2n^2; RHS/vector terms are O(n*NB*B) and negligible.  This is a
+    # lower-bound model (it ignores re-reads the compiler fails to keep
+    # in VMEM), so pct_hbm_peak is a floor on achieved bandwidth.
+    n_spec, NB = 10, int(round(10.0 / 0.2)) + 1
+    band_bytes = 3 * NB * n_spec**2 * CHUNK * 4
+    state_bytes = (n_spec * NB + 8) * CHUNK * 4
+    bytes_per_step = 17 * band_bytes + 20 * state_bytes
+    flops_per_step = (2 * NB * (2 / 3 + 8) * n_spec**3 * CHUNK
+                      + 24 * NB * 2 * n_spec**2 * CHUNK)
+    steps_per_sec = hl_steps / dt
+    achieved_gbps = bytes_per_step * steps_per_sec / 1e9
+    HBM_PEAK_GBPS = 819.0  # TPU v5e HBM bandwidth
 
     result = {
         "metric": "stiff MoL ensemble solves/sec (dr=0.2, tf=5min, rtol=1e-4)",
@@ -159,6 +190,20 @@ def main():
                 "wall_s": round(dt_gsa, 3),
                 "failed": nf_gsa,
                 "max_rel_err_vs_f64_rtol1e-8": relerr_gsa,
+            },
+            "roofline": {
+                "config": "headline f32 rodas4 chunk (B=256, NB=51, "
+                          "n=10)",
+                "chunk_loop_steps": hl_steps,
+                "steps_per_sec": round(steps_per_sec, 1),
+                "bytes_per_step_model": bytes_per_step,
+                "flops_per_step_model": int(flops_per_step),
+                "achieved_GBps_model": round(achieved_gbps, 1),
+                "hbm_peak_GBps": HBM_PEAK_GBPS,
+                "pct_hbm_peak": round(100 * achieved_gbps
+                                      / HBM_PEAK_GBPS, 1),
+                "achieved_TFLOPs_model": round(
+                    flops_per_step * steps_per_sec / 1e12, 3),
             },
             "baseline": "measured tests/reference_numpy_solver.py: "
                         "49.21 s/solve (host CPU, 2026-08-16)",

@@ -50,7 +50,8 @@ def run_ensemble(
     maxiters: int = 20,
     t_prechase: Optional[float] = None,
     chunk: Optional[int] = None,
-    device_axis=None,
+    device_axis: Optional[str] = None,
+    mesh=None,
     method: str = "rodas4",
     linsolve_dtype=None,
     max_steps: int = 20_000,
@@ -69,9 +70,18 @@ def run_ensemble(
     ensemble axis, and a boolean mask of lanes that completed with
     finite output.
 
-    ``chunk`` bounds peak memory by scanning over member chunks;
-    ``device_axis`` (a mesh axis name) shards the ensemble axis — see
-    :func:`gab1_shp2_tpu.parallel.mesh.run_sharded`.
+    ``chunk`` bounds peak memory by scanning over member chunks.
+
+    ``device_axis`` (a mesh axis name, e.g. ``"ensemble"``) shards the
+    stiff ensemble over a 1-D device mesh: every dispatch solves
+    ``n_devices * chunk`` members, ``chunk`` per device, through one
+    ``shard_map``-partitioned program — the multi-chip equivalent of
+    the reference's ``Threads.@threads``/``pmap`` distribution
+    (``get_param_posteriors.jl:147``, ``sapdesolver.jl:323``).  The
+    pilot-fit cost-sorted schedule is preserved (the pilot is the first
+    device-wide super-chunk).  ``mesh`` overrides the default mesh
+    (all of ``jax.devices()``); per-lane results are independent of
+    device placement.
     """
     if isinstance(ensemble, Params):
         pb = ensemble
@@ -106,16 +116,25 @@ def run_ensemble(
         # _stiff_chunk_solver); pass a *stable* extract function (not a
         # fresh lambda) to hit the cache on repeated calls.
         ls_key = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
-        _vs = _stiff_chunk_solver(system, float(R), float(dr), float(tf),
-                                  int(Nts), float(rtol), float(atol),
-                                  t_prechase, method, ls_key,
-                                  int(max_steps), jac_reuse, extract)
+        cfg = (system, float(R), float(dr), float(tf), int(Nts),
+               float(rtol), float(atol), t_prechase, method, ls_key,
+               int(max_steps), jac_reuse, extract)
+
+        if device_axis is not None:
+            return _run_stiff_sharded(cfg, Co, pb, N, chunk, device_axis,
+                                      mesh, sort=not jac_reuse)
+        _vs = _stiff_chunk_solver(*cfg)
 
         def vone_steps(p: Params):
             return _vs(Co, p)
 
         def vone(p: Params):
             return vone_steps(p)[:2]
+    elif device_axis is not None:
+        raise NotImplementedError(
+            "device_axis sharding is implemented for solver='stiff' (the "
+            "production ensemble path); the explicit solver is single-"
+            "device — drop device_axis or use solver='stiff'.")
     elif solver == "explicit":
         # shared conservative step: per-member stability dt with a static
         # max step count (reference semantics, basepdesolver.jl:30)
@@ -160,22 +179,13 @@ def run_ensemble(
     return out, ok
 
 
-@lru_cache(maxsize=64)
-def _stiff_chunk_solver(system, R, dr, tf, Nts, rtol, atol, t_prechase,
-                        method, ls_key, max_steps, jac_reuse, extract):
-    """Build (once per static config) the jitted stiff chunk solver.
-
-    ``run_ensemble`` used to rebuild its jitted closure on every call,
-    paying ~5 s of re-tracing plus several seconds of executable-cache
-    deserialization per invocation — which dominates small runs and
-    repeated-call workloads.  Caching by the static solve configuration
-    (``extract`` keyed by function identity) makes repeat calls
-    dispatch-only.  ``Co`` is a traced argument, so different initial
-    concentrations share one executable.
-    """
+def _build_chunk_fn(system, R, dr, tf, Nts, rtol, atol, t_prechase,
+                    method, ls_key, max_steps, jac_reuse, extract):
+    """The raw (unjitted) batched chunk solver ``(Co, p) -> (out, ok,
+    steps)``; jitted plain by :func:`_stiff_chunk_solver` and wrapped in
+    ``shard_map`` by :func:`_stiff_sharded_solver`."""
     linsolve_dtype = None if ls_key is None else jnp.dtype(ls_key)
 
-    @jax.jit
     def vone_steps(Co, p: Params):
         sol, stats = solve_stiff_batch(
             system, Co, p, R=R, dr=dr, tf=tf, Nts=Nts, rtol=rtol,
@@ -195,6 +205,93 @@ def _stiff_chunk_solver(system, R, dr, tf, Nts, rtol, atol, t_prechase,
         return out, ok, stats.n_accepted + stats.n_rejected
 
     return vone_steps
+
+
+@lru_cache(maxsize=64)
+def _stiff_chunk_solver(system, R, dr, tf, Nts, rtol, atol, t_prechase,
+                        method, ls_key, max_steps, jac_reuse, extract):
+    """Build (once per static config) the jitted stiff chunk solver.
+
+    ``run_ensemble`` used to rebuild its jitted closure on every call,
+    paying ~5 s of re-tracing plus several seconds of executable-cache
+    deserialization per invocation — which dominates small runs and
+    repeated-call workloads.  Caching by the static solve configuration
+    (``extract`` keyed by function identity) makes repeat calls
+    dispatch-only.  ``Co`` is a traced argument, so different initial
+    concentrations share one executable.
+    """
+    return jax.jit(_build_chunk_fn(system, R, dr, tf, Nts, rtol, atol,
+                                   t_prechase, method, ls_key, max_steps,
+                                   jac_reuse, extract))
+
+
+@lru_cache(maxsize=64)
+def _stiff_sharded_solver(system, R, dr, tf, Nts, rtol, atol, t_prechase,
+                          method, ls_key, max_steps, jac_reuse, extract,
+                          mesh, axis):
+    """The chunk solver shard_mapped over a device mesh.
+
+    Each device runs the *same* lane-minor batched program
+    (:func:`_build_chunk_fn`) on its local slice of the leading
+    ensemble axis — the multi-chip production path the reference covers
+    with ``Threads.@threads`` + ``Distributed.pmap``
+    (``get_param_posteriors.jl:147``, ``sapdesolver.jl:323``).  ``Co``
+    is replicated; all batched leaves (params in, extracted outputs /
+    masks / step counts out) are sharded over ``axis``.  Per-lane
+    trajectories are independent, so device placement never changes a
+    lane's result.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    fn = _build_chunk_fn(system, R, dr, tf, Nts, rtol, atol, t_prechase,
+                         method, ls_key, max_steps, jac_reuse, extract)
+    # the per-shard program is lane-local, but its while_loop carries
+    # start from replicated constants, which the varying-manual-axes
+    # checker rejects — skip the check (same as mesh.run_sharded_batch)
+    smap = jax.shard_map(fn, mesh=mesh, in_specs=(P(), P(axis)),
+                         out_specs=P(axis), check_vma=False)
+    return jax.jit(smap)
+
+
+def _run_stiff_sharded(cfg, Co, pb, N, chunk, device_axis, mesh,
+                       sort=True):
+    """Dispatch the stiff ensemble over a device mesh.
+
+    Every dispatch is one ``shard_map``-partitioned program solving a
+    super-chunk of ``n_devices * chunk`` lanes (``chunk`` per device),
+    scheduled by the same pilot-fit cost sorting as the single-device
+    path (:func:`_run_stiff_cost_sorted` — the pilot is the whole first
+    super-chunk, so the cost model fits on ``n_devices``× more lanes).
+    """
+    from jax.sharding import Mesh
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (device_axis,))
+    elif device_axis not in mesh.axis_names:
+        raise ValueError(f"device_axis {device_axis!r} not in mesh axes "
+                         f"{mesh.axis_names}")
+    D = int(np.prod(mesh.devices.shape))
+    c = int(chunk) if chunk is not None else -(-N // D)
+    super_chunk = D * c
+
+    _vss = _stiff_sharded_solver(*cfg, mesh, device_axis)
+
+    def vone_steps(p: Params):
+        return _vss(Co, p)
+
+    # pad the batch itself to a super-chunk multiple (repeat the last
+    # member) so the pilot indexing below stays in range even when
+    # N < n_devices * chunk; padded lanes are sliced off at the end
+    pad = (-N) % super_chunk
+    if pad:
+        pb = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0), pb)
+    out, ok = _run_stiff_cost_sorted(vone_steps, pb, N + pad, super_chunk,
+                                     sort=sort)
+    if pad:
+        out, ok = jax.tree_util.tree_map(lambda a: a[:N], (out, ok))
+    return out, ok
 
 
 def _run_stiff_cost_sorted(vone_steps, pb, N, chunk, sort=True):

@@ -306,7 +306,8 @@ def make_mol_rhs_lanes(system: ReactionDiffusionSystem, R: float, dr: float):
             [C_int[:, :1], C_int, C_R.T[:, None]], axis=1)  # (10, M+2, B)
 
         um, uc, up = C_full[:, :-2], C_full[:, 1:-1], C_full[:, 2:]
-        lap = (up - 2.0 * uc + um) / dr**2
+        # cancellation-friendly ordering — see ops/rhs.laplacian
+        lap = ((up - uc) - (uc - um)) / dr**2
         if system.geometry is Geometry.SPHERICAL:
             lap = lap + (up - um) / (
                 r[1:-1].astype(y.dtype)[None, :, None] * dr)
@@ -366,10 +367,10 @@ def block_jacobian_lanes(rhs_lanes, y: jax.Array):
 
 @partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps",
                                    "method", "linsolve_dtype", "jac_reuse",
-                                   "step_impl"))
+                                   "step_impl", "rhs_mixed"))
 def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                       max_steps, h0, method, linsolve_dtype,
-                      jac_reuse=False, step_impl="xla"):
+                      jac_reuse=False, step_impl="xla", rhs_mixed=False):
     dtype = Co.dtype
     B = params.k.shape[0]
     Nr = int(round(R / dr))
@@ -476,7 +477,30 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         return jnp.sqrt(jnp.mean((v / w) ** 2, axis=(0, 1)))
 
     def run_leg(carry_in, t0, t1, p: Params):
-        f = partial(f_lanes, params=p)
+        if rhs_mixed:
+            # Double-single RHS for emulated-f64 states (VERDICT-r3
+            # item 2): split y into an exact f32 hi part plus an f32
+            # lo remainder, evaluate the RHS and its directional
+            # derivative at y_hi in NATIVE f32 (one jax.jvp — the lo
+            # correction f'(y_hi)·y_lo restores the bits the hi
+            # truncation dropped, and the linear Laplacian/metric terms
+            # are corrected exactly), and recombine in f64.  The f32
+            # rounding of f(y_hi) itself (~1e-7 relative) is NOT
+            # recoverable this way, which caps end-to-end accuracy at
+            # ~1e-5 — see the measured dead-end note in
+            # solve_stiff_batch's docstring before reaching for this
+            # on tight-tolerance configs.
+            p32 = Params(D=p.D.astype(jnp.float32),
+                         k=p.k.astype(jnp.float32))
+
+            def f(y):
+                y_hi = y.astype(jnp.float32)
+                y_lo = (y - y_hi.astype(dtype)).astype(jnp.float32)
+                f_hi, f_lo = jax.jvp(
+                    lambda yy: f_lanes(yy, params=p32), (y_hi,), (y_lo,))
+                return f_hi.astype(dtype) + f_lo.astype(dtype)
+        else:
+            f = partial(f_lanes, params=p)
         if step_impl == "pallas":
             # the fused kernel recomputes the RHS in-kernel from the
             # packed kinetics + per-species diffusivities
@@ -720,6 +744,7 @@ def solve_stiff_batch(
     linsolve_dtype=None,
     jac_reuse: Optional[bool] = None,
     step_impl: Optional[str] = None,
+    rhs_mixed: Optional[bool] = None,
 ):
     """Batched stiff MoL solve over a parameter ensemble.
 
@@ -747,6 +772,19 @@ def solve_stiff_batch(
     north star (v5e, 2026-08-18, scripts/bench_rodas4.py).
     ``jac_reuse`` applies to trbdf2 only (ROW stage solves need the
     current J for their order; the reuse flag is ignored elsewhere).
+
+    ``rhs_mixed=True`` (f64 states only) evaluates the RHS as a
+    jvp-corrected double-f32 split — native-f32 VPU work in place of
+    emulated-f64 arithmetic (see run_leg in ``_solve_batch_impl``).
+    MEASURED (v5e 2026-08-19, scripts/bench_rhs_mixed.py, N=1024): the
+    ~1e-7 relative f32 rounding of the hi evaluation is irreducible in
+    this scheme (the jvp fixes only the y-truncation), so at the
+    north-star rtol 1e-6 it trades accuracy for speed — 472->590
+    solves/s (+25%) but end-to-end err 3.3e-7 -> 1.4e-5, failing the
+    <=1e-6 north-star gate; at the GSA rtol 1e-4 recipe it is +6.5%
+    (973->1035) with err 9.6e-6 -> 4.1e-5.  Kept opt-in: useful for
+    f64-state sweeps that only need rtol>=1e-4 accuracy, NOT for the
+    north star (dead-end note, VERDICT-r3 item 2).
     """
     if jac_reuse is None:
         # Historically defaulted on for f64 TRBDF2 (reuse was a 5.4x
@@ -770,6 +808,11 @@ def solve_stiff_batch(
         legs = ((0.0, float(t_prechase), params),
                 (float(t_prechase), float(tf), p2))
     ls = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
+    if rhs_mixed is None:
+        rhs_mixed = False
+    if rhs_mixed and Co.dtype == jnp.float32:
+        raise ValueError("rhs_mixed splits a wide state into an f32 "
+                         "hi/lo pair; it requires a float64 state")
     if step_impl is None:
         # XLA on all platforms.  The fused Pallas step (in-kernel
         # bands + factor + stage solves + RHS, ops/ros23_pallas.py)
@@ -788,7 +831,8 @@ def solve_stiff_batch(
                                    float(dr), int(Nts), rtol, atol,
                                    int(max_steps), float(h0), method, ls,
                                    jac_reuse=bool(jac_reuse),
-                                   step_impl=step_impl)
+                                   step_impl=step_impl,
+                                   rhs_mixed=bool(rhs_mixed))
     if return_stats:
         return sol, stats
     return sol

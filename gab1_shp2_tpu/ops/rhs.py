@@ -184,7 +184,12 @@ def laplacian(system: ReactionDiffusionSystem, C: jax.Array, r: jax.Array,
     (``basepdesolver_rect.jl:132``).
     """
     um, uc, up = C[..., :-2], C[..., 1:-1], C[..., 2:]
-    lap = (up - 2.0 * uc + um) / dr**2
+    # (up-uc)-(uc-um) instead of up-2uc+um: each inner subtraction of
+    # neighbouring values rounds relative to the *difference* (exact by
+    # Sterbenz when within 2x), so the second difference carries ~eps
+    # relative error instead of ~eps*|C|/|d2C| — required for the mixed
+    # f32 RHS path (ops/batch_stiff.py rhs_mixed) and harmless in f64
+    lap = ((up - uc) - (uc - um)) / dr**2
     if system.geometry is Geometry.SPHERICAL:
         lap = lap + (up - um) / (r[1:-1] * dr)
     return lap

@@ -22,6 +22,12 @@ def _small_batch(n=8, sigma=0.05, seed=0):
 FAST = dict(dr=0.5, tf=0.5, Nts=2)
 
 
+def _pg1s_extract(s):
+    # module-level (stable identity) so repeated run_ensemble calls hit
+    # the lru-cached chunk solver
+    return s.PG1Stot[-1]
+
+
 class TestRunEnsemble:
     def test_stiff_with_extract(self):
         batch = _small_batch()
@@ -185,6 +191,65 @@ class TestSharding:
         # still sits 2x under the rtol=1e-4 integration tolerance.
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=5e-5, atol=1e-8)
+
+    def test_run_ensemble_device_axis_production_config(self):
+        """``run_ensemble(device_axis="ensemble")`` (the mesh-integrated
+        production path) vs the single-device engine at the production
+        config (dr=0.2, tf=5, rodas4, f32, N=64): every dispatch is one
+        shard_map-partitioned super-chunk of n_devices*chunk lanes, so
+        each device runs the same B=8 local program as the single-device
+        chunks — results must agree to well under the integration
+        tolerance (the residual is last-ulp f32 vectorization noise
+        amplified by the adaptive controller, as in
+        test_run_sharded_batch_production_config)."""
+        assert len(jax.devices()) == 8
+        system = base_system()
+        Co = jnp.asarray(default_co(), jnp.float32)
+        batch = _small_batch(n=64, sigma=0.1).astype(jnp.float32)
+        kw = dict(solver="stiff", extract=_pg1s_extract, dr=0.2, tf=5.0,
+                  Nts=2, rtol=1e-4, atol=1e-7, method="rodas4", chunk=8)
+        a, oka = run_ensemble(system, Co, batch, **kw)
+        b, okb = run_ensemble(system, Co, batch,
+                              device_axis="ensemble", **kw)
+        assert b.shape == a.shape == (64, 51)  # final PG1Stot profile
+        assert bool(np.asarray(okb).all())
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-8)
+
+    def test_run_ensemble_device_axis_pads_small_n(self):
+        """N smaller than one device-wide super-chunk: the engine pads
+        with repeats, solves one sharded dispatch, and slices back."""
+        batch = _small_batch(n=5)
+        kw = dict(solver="stiff", extract=_pg1s_extract, rtol=1e-4,
+                  atol=1e-7, method="rodas4", **FAST)
+        a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch,
+                              device_axis="ensemble", **kw)
+        assert b.shape[0] == 5
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+
+    def test_run_ensemble_device_axis_sorted_schedule(self):
+        """Multiple super-chunks so the pilot-fit cost sorting runs on
+        the sharded path; per-lane results must match the single-device
+        engine after un-sorting (f64: bitwise-level agreement)."""
+        batch = _small_batch(n=24, sigma=0.3, seed=7)
+        kw = dict(solver="stiff", extract=_pg1s_extract, rtol=1e-4,
+                  atol=1e-7, method="rodas4", jac_reuse=False, **FAST)
+        a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch,
+                              chunk=1, device_axis="ensemble", **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+
+    def test_device_axis_explicit_raises(self):
+        with pytest.raises(NotImplementedError):
+            run_ensemble(base_system(), default_co(), _small_batch(n=4),
+                         solver="explicit", device_axis="ensemble",
+                         **FAST)
 
     def test_pad_to_multiple(self):
         from gab1_shp2_tpu.parallel.mesh import pad_to_multiple
