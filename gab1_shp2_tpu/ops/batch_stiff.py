@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -365,43 +365,50 @@ def block_jacobian_lanes(rhs_lanes, y: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps",
-                                   "method", "linsolve_dtype", "jac_reuse",
-                                   "step_impl", "rhs_mixed"))
-def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
-                      max_steps, h0, method, linsolve_dtype,
-                      jac_reuse=False, step_impl="xla", rhs_mixed=False):
-    dtype = Co.dtype
-    B = params.k.shape[0]
+def _lanes_y0(CoT, M, dtype):
+    """Lane-minor initial state from per-lane concentration rows.
+
+    ``CoT`` is (5, B); returns y0 of shape (NB, BLK, B)
+    (``initial_state`` semantics, basepdesolver.jl:94-97,137-141).
+    """
+    from gab1_shp2_tpu.models.species import MEMB
+
+    B = CoT.shape[-1]
+    C0 = jnp.zeros((N_CYTO, M, B), dtype)
+    C0 = C0.at[CYTO["iSFK"]].set(CoT[0][None, :])
+    C0 = C0.at[CYTO["GRB2"]].set(CoT[1][None, :])
+    C0 = C0.at[CYTO["GAB1"]].set(CoT[2][None, :])
+    C0 = C0.at[CYTO["SHP2"]].set(CoT[3][None, :])
+    m0v = jnp.zeros((N_MEMB, B), dtype).at[MEMB["mE"]].set(CoT[4])
+    pad = jnp.zeros((BLK - N_MEMB, B), dtype)
+    return jnp.concatenate(
+        [jnp.moveaxis(C0, 1, 0), jnp.concatenate([m0v, pad])[None]], axis=0)
+
+
+def _solver_ctx(system, R, dr, Nts, rtol, atol, tf_total, dtype,
+                linsolve_dtype, method, step_impl, rhs_mixed):
+    """Shared per-step machinery of the lane-minor stiff integrator.
+
+    Built (at trace time) by both the chunked leg integrator
+    (:func:`_solve_batch_impl`) and the continuation-batched lane-refill
+    scheduler (:func:`_solve_refill_impl`), so the two dispatch
+    strategies share ONE copy of the step arithmetic — a lane's
+    trajectory is controller-identical whichever scheduler runs it
+    (all lane ops are elementwise in the lane axis; cross-lane
+    reductions only gate *iteration counts*, and frozen lanes never
+    change values), so step/acceptance sequences match exactly and
+    values agree to float roundoff (XLA fuses differently-shaped
+    programs with different FMA associativity — measured <=6e-13
+    relative in f64, tests/test_batch_stiff.py::TestRefillScheduler).
+    """
+    from types import SimpleNamespace
+
     Nr = int(round(R / dr))
     M = Nr - 1
     NB = M + 1
     f_lanes, r = make_mol_rhs_lanes(system, R, dr)
-    tf_total = legs[-1][1]
     dt_save = tf_total / Nts
     eps = 1e-10 * tf_total
-
-    if Co.ndim == 2:
-        # per-lane initial concentrations (initial_state semantics,
-        # basepdesolver.jl:94-97,137-141, lane-minor)
-        from gab1_shp2_tpu.models.species import MEMB
-
-        CoT = Co.T  # (5, B)
-        C0 = jnp.zeros((N_CYTO, M, B), dtype)
-        C0 = C0.at[CYTO["iSFK"]].set(CoT[0][None, :])
-        C0 = C0.at[CYTO["GRB2"]].set(CoT[1][None, :])
-        C0 = C0.at[CYTO["GAB1"]].set(CoT[2][None, :])
-        C0 = C0.at[CYTO["SHP2"]].set(CoT[3][None, :])
-        m0v = jnp.zeros((N_MEMB, B), dtype).at[MEMB["mE"]].set(CoT[4])
-        CoEGFR = Co[:, 4]
-    else:
-        y0s = initial_state(Co, Nr)
-        C0 = jnp.broadcast_to(y0s.C_int[..., None], (N_CYTO, M, B))
-        m0v = jnp.broadcast_to(y0s.m[..., None], (N_MEMB, B))
-        CoEGFR = jnp.broadcast_to(Co[4], (B,))
-    pad = jnp.zeros((BLK - N_MEMB, B), dtype)
-    y0 = jnp.concatenate(
-        [jnp.moveaxis(C0, 1, 0), jnp.concatenate([m0v, pad])[None]], axis=0)
 
     ls_dtype = jnp.dtype(linsolve_dtype) if linsolve_dtype else dtype
     eye_l = jnp.eye(BLK, dtype=ls_dtype)[None, :, :, None]
@@ -435,23 +442,6 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
     ntol = 0.03
     newton_iters = 6
 
-    # Jacobian reuse (TRBDF2 only, opt-in; sound because for a Newton
-    # method staleness affects only convergence rate, never the
-    # converged solution — the classic QNDF/LSODA economics the
-    # reference's solver gets from SciML).  Only the 38-JVP band
-    # refresh is amortized (age/Newton-failure/leg-change triggered);
-    # the W factorization is rebuilt every step from the cached bands
-    # in ls_dtype — it is cheap next to the JVPs (which run in
-    # ls_dtype, see bands(); emulated-f64 on TPU when ls is f64), and
-    # keeping it fresh lets the standard continuous step controller
-    # run unchanged (a deadband variant that also preserved the
-    # factorization cost ~50% more steps and lost to this scheme at
-    # every dtype).  Since fast_block_jacobian_lanes + ls_dtype-native
-    # bands, fresh J beats reuse at every measured config (see the
-    # default rationale in solve_stiff_batch).
-    reuse = bool(jac_reuse) and method == "trbdf2"
-    JAC_MAX_AGE = 20
-
     def snapshot(y, p: Params):
         """(10, Nr+1, B) full profile + (8, B) membrane state."""
         k = kdict(p.k)
@@ -464,11 +454,6 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
             [C_int[:, :1], C_int, C_R.T[:, None]], axis=1)
         return C_full, y[-1, :N_MEMB, :]
 
-    out_C = jnp.full((Nts + 1, N_CYTO, Nr + 1, B), jnp.nan, dtype)
-    out_m = jnp.full((Nts + 1, N_MEMB, B), jnp.nan, dtype)
-    C0f, m0f = snapshot(y0, legs[0][2])
-    out_C = out_C.at[0].set(C0f)
-    out_m = out_m.at[0].set(m0f)
     slot_ids = jnp.arange(Nts + 1, dtype=jnp.int32)
 
     def scaled_norm(v, y_a, y_b):
@@ -476,7 +461,8 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         w = atol + rtol * jnp.maximum(jnp.abs(y_a), jnp.abs(y_b))
         return jnp.sqrt(jnp.mean((v / w) ** 2, axis=(0, 1)))
 
-    def run_leg(carry_in, t0, t1, p: Params):
+    def make_f(p: Params):
+        """The lane-batched RHS closed over (possibly carried) params."""
         if rhs_mixed:
             # Double-single RHS for emulated-f64 states (VERDICT-r3
             # item 2): split y into an exact f32 hi part plus an f32
@@ -499,199 +485,286 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
                 f_hi, f_lo = jax.jvp(
                     lambda yy: f_lanes(yy, params=p32), (y_hi,), (y_lo,))
                 return f_hi.astype(dtype) + f_lo.astype(dtype)
+
+            return f
+        return partial(f_lanes, params=p)
+
+    def newton(f, fac, y_init, rhs_const, h):
+        """Per-lane Newton iteration; h is (B,)."""
+        B = y_init.shape[-1]
+
+        def nbody(c):
+            y, dn, it = c
+            Gv = y - A * h * f(y) - rhs_const
+            dy = solve(fac, -Gv)
+            ynew = y + dy
+            dn_new = scaled_norm(dy, ynew, ynew)
+            # freeze converged lanes
+            upd = dn > ntol
+            y = jnp.where(upd, ynew, y)
+            dn = jnp.where(upd, dn_new, dn)
+            return y, dn, it + 1
+
+        def ncond(c):
+            _, dn, it = c
+            return jnp.logical_and(it < newton_iters,
+                                   jnp.any(dn > ntol))
+
+        y, dn, _ = jax.lax.while_loop(
+            ncond, nbody,
+            (y_init, jnp.full((B,), jnp.inf, dtype),
+             jnp.array(0, jnp.int32)))
+        return y, dn <= ntol
+
+    def step(f, p, t1, active, st, jac=None, d_eff=None):
+        """One adaptive integrator step for every lane.
+
+        ``st`` is the 9-tuple ``(t, h_carry, y, nts, out_C, out_m,
+        nacc, nrej, failed)``; ``active`` masks the lanes allowed to
+        advance (inactive lanes keep their state bit-for-bit); ``jac``
+        optionally supplies cached Jacobian bands (the TRBDF2
+        ``jac_reuse`` path), otherwise bands are rebuilt from ``y``.
+        Returns ``(updated st, per-lane step-success flags)``.
+        """
+        t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = st
+        # step size used this iteration: truncated to the leg end for
+        # active lanes, a harmless dummy for finished lanes (their
+        # carried h is preserved below — it seeds the next leg,
+        # matching the per-lane vmapped semantics)
+        h = jnp.where(active, jnp.minimum(h_carry, t1 - t),
+                      jnp.asarray(1.0, dtype))
+
+        f_n = f(y)
+        if jac is not None:
+            Lj, Dj, Uj = jac
+        elif step_impl != "pallas":
+            # the fused kernel builds bands in-kernel from VMEM
+            Lj, Dj, Uj = bands(y, p)
+        hb = h[None, None, None, :].astype(ls_dtype)
+        hd = h[None, None, :]
+
+        if method == "trbdf2":
+            fac = factor(-A * hb * Lj,
+                         eye_l - A * hb * Dj.astype(ls_dtype),
+                         -A * hb * Uj)
+            rc1 = y + A * hd * f_n
+            y_g, ok1 = newton(f, fac, y + GAMMA * hd * f_n, rc1, hd)
+            f_g = (y_g - rc1) / (A * hd)
+            rc2 = _C_YG * y_g - _C_YN * y
+            y_1, ok2 = newton(f, fac, y_g, rc2, hd)
+            f_1 = (y_1 - rc2) / (A * hd)
+            y_hat = y + hd * (_B1 * f_n + _B2 * f_g + _B3 * f_1)
+            est = solve(fac, y_1 - y_hat)
+            errn = scaled_norm(est, y, y_1)
+            ok = jnp.logical_and(ok1, ok2)
+        elif method == "rosenbrock23" and step_impl == "pallas":
+            from gab1_shp2_tpu.ops.ros23_pallas import ros23_step_fused
+
+            y_1, f_1, est = ros23_step_fused(
+                system, y, f_n, h, p.k, d_eff, Nr, dr)
+            errn = scaled_norm(est, y, y_1)
+            ok = jnp.isfinite(errn)
+        elif method == "rosenbrock23":
+            d = _ROS_D
+            fac = factor(-d * hb * Lj,
+                         eye_l - d * hb * Dj.astype(ls_dtype),
+                         -d * hb * Uj)
+            k1 = solve(fac, f_n)
+            f_half = f(y + 0.5 * hd * k1)
+            k2 = solve(fac, f_half - k1) + k1
+            y_1 = y + hd * k2
+            f_1 = f(y_1)
+            k3 = solve(fac, f_1 - _ROS_E32 * (k2 - f_half)
+                       - 2.0 * (k1 - f_n))
+            est = (hd / 6.0) * (k1 - 2.0 * k2 + k3)
+            errn = scaled_norm(est, y, y_1)
+            ok = jnp.isfinite(errn)
+        elif method in _ROW_TABLEAUS:
+            y_1, est = _row_step(_ROW_TABLEAUS[method], factor, solve,
+                                 f, y, f_n, (hb, hd), Lj, Dj, Uj,
+                                 eye_l, ls_dtype)
+            errn = scaled_norm(est, y, y_1)
+            ok = jnp.isfinite(errn)
+            # dense output needs f(y_1); RODAS never evaluates it,
+            # so the Hermite save path computes it lazily (only on
+            # save-grid crossings — at the production Nts=2 that is
+            # ~2 extra RHS per solve instead of one per step)
+            f_1 = None
         else:
-            f = partial(f_lanes, params=p)
+            raise ValueError(f"unknown method {method!r}")
+
+        accept = jnp.logical_and(jnp.logical_and(ok, errn <= 1.0),
+                                 active)
+
+        t_new = jnp.where(accept, t + h, t)
+        y_new = jnp.where(accept[None, None, :], y_1, y)
+
+        # MEASURED DEAD END (VERDICT r2 item 8): a PI/Gustafsson
+        # controller (fac = 0.9*errn^(-0.7/3)*errp^(0.4/3), Hairer &
+        # Wanner II.4) was implemented and benchmarked at the bench
+        # config (v5e, B=1024/chunk 256).  It did cut rejections on
+        # the f64 north star (424 -> 84) but its damped step growth
+        # cost far more accepted steps (f32 ros23 187k -> 261k,
+        # 923 -> 746 solves/s; f64 trbdf2 599k -> 784k, 202 -> 166)
+        # — this problem's rejection rate is already ~0.07%, so
+        # smoothing has nothing to buy back.  The plain asymptotic
+        # controller stays.
+        # asymptotic controller exponent -1/(q+1) where q is the
+        # embedded estimator's order: O(h^3) (so -1/3) for trbdf2 /
+        # rosenbrock23 / rodas3, O(h^4) for rodas4
+        e_exp = (-1.0 / 4.0 if method == "rodas4" else -1.0 / 3.0)
+        fac_ok = jnp.clip(0.9 * errn ** e_exp, 0.2, 4.0)
+        fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** e_exp,
+                                         0.1, 0.5), 0.3)
+        h_prop = h * jnp.where(accept, fac_ok, fac_rej)
+        h_prop = jnp.where(jnp.isfinite(h_prop), h_prop, h * 0.3)
+        h_new = jnp.where(active, h_prop, h_carry)
+        failed = jnp.logical_or(
+            failed, jnp.logical_and(active, h_new < 1e-13 * tf_total))
+
+        # dense-output snapshots: per-lane save slots via masked
+        # one-hot writes (scatter-free; cheap at the production
+        # Nts=2, linear in Nts otherwise)
+        def scond(sc):
+            nts_i, _, _ = sc
+            return jnp.any(jnp.logical_and(
+                jnp.logical_and(accept, nts_i <= Nts),
+                nts_i * dt_save <= t_new + eps))
+
+        def sbody(sc):
+            nts_i, oC, om = sc
+            write = jnp.logical_and(
+                jnp.logical_and(accept, nts_i <= Nts),
+                nts_i * dt_save <= t_new + eps)
+            ts = nts_i.astype(dtype) * dt_save
+            th = jnp.where(h > 0, (ts - t) / h, 0.0)
+            h00 = 2 * th**3 - 3 * th**2 + 1
+            h10 = th**3 - 2 * th**2 + th
+            h01 = -2 * th**3 + 3 * th**2
+            h11 = th**3 - th**2
+            y_s = (h00 * y + (h10 * h) * f_n + h01 * y_1
+                   + (h11 * h) * f_end)
+            Cs, ms = snapshot(y_s, p)
+            onehot = slot_ids[:, None] == nts_i[None, :]  # (Nts+1, B)
+            wmask = jnp.logical_and(onehot, write[None, :])
+            oC = jnp.where(wmask[:, None, None, :], Cs[None], oC)
+            om = jnp.where(wmask[:, None, :], ms[None], om)
+            return nts_i + write.astype(jnp.int32), oC, om
+
+        if f_1 is None:
+            # RODAS never evaluates f(y_1); the Hermite tangent is
+            # computed at most ONCE per step, and only on steps
+            # that actually cross a save point (the cond's false
+            # branch is free) — not once per crossed point.
+            f_end = jax.lax.cond(scond((nts, out_C, out_m)),
+                                 lambda: f(y_1),
+                                 lambda: jnp.zeros_like(y_1))
+        else:
+            f_end = f_1
+        nts, out_C, out_m = jax.lax.while_loop(
+            scond, sbody, (nts, out_C, out_m))
+
+        nacc = nacc + accept.astype(jnp.int32)
+        nrej = nrej + jnp.logical_and(active, ~accept).astype(jnp.int32)
+        return (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
+                failed), ok
+
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        Nr=Nr, M=M, NB=NB, r=r, eps=eps, dt_save=dt_save,
+        ls_dtype=ls_dtype, f_lanes=f_lanes, snapshot=snapshot,
+        scaled_norm=scaled_norm, bands=bands, factor=factor, solve=solve,
+        make_f=make_f, newton=newton, step=step)
+
+
+@partial(jax.jit, static_argnames=("system", "R", "dr", "Nts", "max_steps",
+                                   "method", "linsolve_dtype", "jac_reuse",
+                                   "step_impl", "rhs_mixed"))
+def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
+                      max_steps, h0, method, linsolve_dtype,
+                      jac_reuse=False, step_impl="xla", rhs_mixed=False):
+    dtype = Co.dtype
+    B = params.k.shape[0]
+    tf_total = legs[-1][1]
+    ctx = _solver_ctx(system, R, dr, Nts, rtol, atol, tf_total, dtype,
+                      linsolve_dtype, method, step_impl, rhs_mixed)
+    Nr, M, eps = ctx.Nr, ctx.M, ctx.eps
+
+    if Co.ndim == 2:
+        # per-lane initial concentrations (initial_state semantics,
+        # basepdesolver.jl:94-97,137-141, lane-minor)
+        y0 = _lanes_y0(Co.T, M, dtype)
+        CoEGFR = Co[:, 4]
+    else:
+        y0s = initial_state(Co, Nr)
+        C0 = jnp.broadcast_to(y0s.C_int[..., None], (N_CYTO, M, B))
+        m0v = jnp.broadcast_to(y0s.m[..., None], (N_MEMB, B))
+        CoEGFR = jnp.broadcast_to(Co[4], (B,))
+        pad = jnp.zeros((BLK - N_MEMB, B), dtype)
+        y0 = jnp.concatenate(
+            [jnp.moveaxis(C0, 1, 0), jnp.concatenate([m0v, pad])[None]],
+            axis=0)
+
+    # Jacobian reuse (TRBDF2 only, opt-in; sound because for a Newton
+    # method staleness affects only convergence rate, never the
+    # converged solution — the classic QNDF/LSODA economics the
+    # reference's solver gets from SciML).  Only the 38-JVP band
+    # refresh is amortized (age/Newton-failure/leg-change triggered);
+    # the W factorization is rebuilt every step from the cached bands
+    # in ls_dtype — it is cheap next to the JVPs (which run in
+    # ls_dtype, see bands(); emulated-f64 on TPU when ls is f64), and
+    # keeping it fresh lets the standard continuous step controller
+    # run unchanged (a deadband variant that also preserved the
+    # factorization cost ~50% more steps and lost to this scheme at
+    # every dtype).  Since fast_block_jacobian_lanes + ls_dtype-native
+    # bands, fresh J beats reuse at every measured config (see the
+    # default rationale in solve_stiff_batch).
+    reuse = bool(jac_reuse) and method == "trbdf2"
+    JAC_MAX_AGE = 20
+
+    out_C = jnp.full((Nts + 1, N_CYTO, Nr + 1, B), jnp.nan, dtype)
+    out_m = jnp.full((Nts + 1, N_MEMB, B), jnp.nan, dtype)
+    C0f, m0f = ctx.snapshot(y0, legs[0][2])
+    out_C = out_C.at[0].set(C0f)
+    out_m = out_m.at[0].set(m0f)
+
+    def run_leg(carry_in, t0, t1, p: Params):
+        f = ctx.make_f(p)
         if step_impl == "pallas":
             # the fused kernel recomputes the RHS in-kernel from the
             # packed kinetics + per-species diffusivities
             d_eff_leg = rhs_mod.effective_diffusivities(system, p)
-
-        def newton(fac, y_init, rhs_const, h):
-            """Per-lane Newton iteration; h is (B,)."""
-            def nbody(c):
-                y, dn, it = c
-                Gv = y - A * h * f(y) - rhs_const
-                dy = solve(fac, -Gv)
-                ynew = y + dy
-                dn_new = scaled_norm(dy, ynew, ynew)
-                # freeze converged lanes
-                upd = dn > ntol
-                y = jnp.where(upd, ynew, y)
-                dn = jnp.where(upd, dn_new, dn)
-                return y, dn, it + 1
-
-            def ncond(c):
-                _, dn, it = c
-                return jnp.logical_and(it < newton_iters,
-                                       jnp.any(dn > ntol))
-
-            y, dn, _ = jax.lax.while_loop(
-                ncond, nbody,
-                (y_init, jnp.full((B,), jnp.inf, dtype),
-                 jnp.array(0, jnp.int32)))
-            return y, dn <= ntol
+        else:
+            d_eff_leg = None
 
         def body(c):
             base, extra = c[:9], c[9:]
-            t, h_carry, y, nts, out_C, out_m, nacc, nrej, failed = base
+            t = base[0]
+            active = t < t1 - eps
+            jac = None
             if reuse:
                 Lj, Dj, Uj, j_age, want_refresh = extra
-            active = t < t1 - eps
-            # step size used this iteration: truncated to the leg end for
-            # active lanes, a harmless dummy for finished lanes (their
-            # carried h is preserved below — it seeds the next leg,
-            # matching the per-lane vmapped semantics)
-            h = jnp.where(active, jnp.minimum(h_carry, t1 - t),
-                          jnp.asarray(1.0, dtype))
-
-            f_n = f(y)
-            if reuse:
                 need_refresh = jnp.logical_or(want_refresh,
                                               j_age >= JAC_MAX_AGE)
+                y = base[2]
 
                 def _refresh(_):
-                    return bands(y, p) + (jnp.int32(0),)
+                    return ctx.bands(y, p) + (jnp.int32(0),)
 
                 Lj, Dj, Uj, j_age = jax.lax.cond(
                     need_refresh, _refresh,
                     lambda _: (Lj, Dj, Uj, j_age), None)
-            elif step_impl != "pallas":
-                # the fused kernel builds bands in-kernel from VMEM
-                Lj, Dj, Uj = bands(y, p)
-            hb = h[None, None, None, :].astype(ls_dtype)
-            hd = h[None, None, :]
+                jac = (Lj, Dj, Uj)
 
-            if method == "trbdf2":
-                fac = factor(-A * hb * Lj,
-                             eye_l - A * hb * Dj.astype(ls_dtype),
-                             -A * hb * Uj)
-                rc1 = y + A * hd * f_n
-                y_g, ok1 = newton(fac, y + GAMMA * hd * f_n, rc1, hd)
-                f_g = (y_g - rc1) / (A * hd)
-                rc2 = _C_YG * y_g - _C_YN * y
-                y_1, ok2 = newton(fac, y_g, rc2, hd)
-                f_1 = (y_1 - rc2) / (A * hd)
-                y_hat = y + hd * (_B1 * f_n + _B2 * f_g + _B3 * f_1)
-                est = solve(fac, y_1 - y_hat)
-                errn = scaled_norm(est, y, y_1)
-                ok = jnp.logical_and(ok1, ok2)
-            elif method == "rosenbrock23" and step_impl == "pallas":
-                from gab1_shp2_tpu.ops.ros23_pallas import ros23_step_fused
-
-                y_1, f_1, est = ros23_step_fused(
-                    system, y, f_n, h, p.k, d_eff_leg, Nr, dr)
-                errn = scaled_norm(est, y, y_1)
-                ok = jnp.isfinite(errn)
-            elif method == "rosenbrock23":
-                d = _ROS_D
-                fac = factor(-d * hb * Lj,
-                             eye_l - d * hb * Dj.astype(ls_dtype),
-                             -d * hb * Uj)
-                k1 = solve(fac, f_n)
-                f_half = f(y + 0.5 * hd * k1)
-                k2 = solve(fac, f_half - k1) + k1
-                y_1 = y + hd * k2
-                f_1 = f(y_1)
-                k3 = solve(fac, f_1 - _ROS_E32 * (k2 - f_half)
-                           - 2.0 * (k1 - f_n))
-                est = (hd / 6.0) * (k1 - 2.0 * k2 + k3)
-                errn = scaled_norm(est, y, y_1)
-                ok = jnp.isfinite(errn)
-            elif method in _ROW_TABLEAUS:
-                y_1, est = _row_step(_ROW_TABLEAUS[method], factor, solve,
-                                     f, y, f_n, (hb, hd), Lj, Dj, Uj,
-                                     eye_l, ls_dtype)
-                errn = scaled_norm(est, y, y_1)
-                ok = jnp.isfinite(errn)
-                # dense output needs f(y_1); RODAS never evaluates it,
-                # so the Hermite save path computes it lazily (only on
-                # save-grid crossings — at the production Nts=2 that is
-                # ~2 extra RHS per solve instead of one per step)
-                f_1 = None
-            else:
-                raise ValueError(f"unknown method {method!r}")
-
-            accept = jnp.logical_and(jnp.logical_and(ok, errn <= 1.0),
-                                     active)
-
-            t_new = jnp.where(accept, t + h, t)
-            y_new = jnp.where(accept[None, None, :], y_1, y)
-
-            # MEASURED DEAD END (VERDICT r2 item 8): a PI/Gustafsson
-            # controller (fac = 0.9*errn^(-0.7/3)*errp^(0.4/3), Hairer &
-            # Wanner II.4) was implemented and benchmarked at the bench
-            # config (v5e, B=1024/chunk 256).  It did cut rejections on
-            # the f64 north star (424 -> 84) but its damped step growth
-            # cost far more accepted steps (f32 ros23 187k -> 261k,
-            # 923 -> 746 solves/s; f64 trbdf2 599k -> 784k, 202 -> 166)
-            # — this problem's rejection rate is already ~0.07%, so
-            # smoothing has nothing to buy back.  The plain asymptotic
-            # controller stays.
-            # asymptotic controller exponent -1/(q+1) where q is the
-            # embedded estimator's order: O(h^3) (so -1/3) for trbdf2 /
-            # rosenbrock23 / rodas3, O(h^4) for rodas4
-            e_exp = (-1.0 / 4.0 if method == "rodas4" else -1.0 / 3.0)
-            fac_ok = jnp.clip(0.9 * errn ** e_exp, 0.2, 4.0)
-            fac_rej = jnp.where(ok, jnp.clip(0.9 * errn ** e_exp,
-                                             0.1, 0.5), 0.3)
-            h_prop = h * jnp.where(accept, fac_ok, fac_rej)
-            h_prop = jnp.where(jnp.isfinite(h_prop), h_prop, h * 0.3)
-            h_new = jnp.where(active, h_prop, h_carry)
-            failed = jnp.logical_or(
-                failed, jnp.logical_and(active, h_new < 1e-13 * tf_total))
-
-            # dense-output snapshots: per-lane save slots via masked
-            # one-hot writes (scatter-free; cheap at the production
-            # Nts=2, linear in Nts otherwise)
-            def scond(sc):
-                nts_i, _, _ = sc
-                return jnp.any(jnp.logical_and(
-                    jnp.logical_and(accept, nts_i <= Nts),
-                    nts_i * dt_save <= t_new + eps))
-
-            def sbody(sc):
-                nts_i, oC, om = sc
-                write = jnp.logical_and(
-                    jnp.logical_and(accept, nts_i <= Nts),
-                    nts_i * dt_save <= t_new + eps)
-                ts = nts_i.astype(dtype) * dt_save
-                th = jnp.where(h > 0, (ts - t) / h, 0.0)
-                h00 = 2 * th**3 - 3 * th**2 + 1
-                h10 = th**3 - 2 * th**2 + th
-                h01 = -2 * th**3 + 3 * th**2
-                h11 = th**3 - th**2
-                y_s = (h00 * y + (h10 * h) * f_n + h01 * y_1
-                       + (h11 * h) * f_end)
-                Cs, ms = snapshot(y_s, p)
-                onehot = slot_ids[:, None] == nts_i[None, :]  # (Nts+1, B)
-                wmask = jnp.logical_and(onehot, write[None, :])
-                oC = jnp.where(wmask[:, None, None, :], Cs[None], oC)
-                om = jnp.where(wmask[:, None, :], ms[None], om)
-                return nts_i + write.astype(jnp.int32), oC, om
-
-            if f_1 is None:
-                # RODAS never evaluates f(y_1); the Hermite tangent is
-                # computed at most ONCE per step, and only on steps
-                # that actually cross a save point (the cond's false
-                # branch is free) — not once per crossed point.
-                f_end = jax.lax.cond(scond((nts, out_C, out_m)),
-                                     lambda: f(y_1),
-                                     lambda: jnp.zeros_like(y_1))
-            else:
-                f_end = f_1
-            nts, out_C, out_m = jax.lax.while_loop(
-                scond, sbody, (nts, out_C, out_m))
-
-            nacc = nacc + accept.astype(jnp.int32)
-            nrej = nrej + jnp.logical_and(active, ~accept).astype(jnp.int32)
-            out = (t_new, h_new, y_new, nts, out_C, out_m, nacc, nrej,
-                   failed)
+            st, ok = ctx.step(f, p, t1, active, base, jac=jac,
+                              d_eff=d_eff_leg)
             if reuse:
                 # a Newton failure invalidates the (possibly stale) J:
                 # refresh before the retry; accepted steps age it
                 want_new = jnp.any(jnp.logical_and(active, ~ok))
-                out = out + (Lj, Dj, Uj, j_age + 1, want_new)
-            return out
+                return st + (Lj, Dj, Uj, j_age + 1, want_new)
+            return st
 
         def cond(c):
             t, _, _, _, _, _, nacc, nrej, failed = c[:9]
@@ -705,7 +778,8 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
         init = (t, h, y, nts, out_C, out_m, nacc, nrej, failed)
         if reuse:
             # fresh J at leg entry (params changed)
-            init = init + bands(y, p) + (jnp.int32(0), jnp.array(False))
+            init = init + ctx.bands(y, p) + (jnp.int32(0),
+                                             jnp.array(False))
         out = jax.lax.while_loop(cond, body, init)
         return out[:9]
 
@@ -720,9 +794,213 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
 
     t_save = jnp.linspace(0.0, tf_total, Nts + 1).astype(dtype)
     sol = Solution(C=jnp.moveaxis(out_C, -1, 0), m=jnp.moveaxis(out_m, -1, 0),
-                   t=t_save, r=r.astype(dtype), CoEGFR=CoEGFR)
+                   t=t_save, r=ctx.r.astype(dtype), CoEGFR=CoEGFR)
     stats = StiffStats(n_accepted=nacc, n_rejected=nrej, failed=failed)
     return sol, stats
+
+
+@partial(jax.jit, static_argnames=("system", "R", "dr", "tf", "Nts",
+                                   "max_steps", "method", "linsolve_dtype",
+                                   "rhs_mixed", "lanes", "harvest_every",
+                                   "extract"))
+def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
+                       max_steps, h0, method, linsolve_dtype, lanes,
+                       harvest_every, extract, rhs_mixed=False):
+    """Continuation-batched stiff ensemble solve with lane refill.
+
+    The chunked scheduler (:func:`_solve_batch_impl` driven by the
+    ensemble engine) pays a lock-step barrier per chunk: a vmapped
+    adaptive integration runs until its slowest lane finishes, so every
+    chunk costs its max-step member.  Pilot-fit cost sorting recovers
+    ~85% of that waste; this scheduler removes the barrier itself.
+    ``lanes`` lanes integrate continuously inside ONE ``while_loop``
+    device program; every ``harvest_every`` accepted-step iterations
+    (and immediately when no lane can advance) finished lanes are
+    harvested — their extracted outputs scattered to the (N, …) result
+    buffers at their member index — and refilled with the next queued
+    members.  No lane ever idles while work remains, and the whole
+    ensemble is one device dispatch (no host round-trips at all; the
+    reference's work-stealing analogue is ``Threads.@threads`` dynamic
+    scheduling, ``get_param_posteriors.jl:147``).
+
+    Per-lane trajectories are controller-identical to the chunked
+    scheduler's (shared :func:`_solver_ctx` step arithmetic; all lane
+    ops are elementwise in the lane axis, and cross-lane reductions
+    only gate iteration counts of loops whose converged/finished lanes
+    are frozen): step counts match exactly and values agree to float
+    roundoff, so the two schedulers are interchangeable on results.
+
+    Single-leg solves only (``t_prechase`` pulse-chase legs change
+    params mid-flight for ALL lanes at once, which has no meaning when
+    lanes start at staggered wall-clock times — the engine falls back
+    to the chunked scheduler there).
+    """
+    dtype = Co_all.dtype
+    N = params.k.shape[0]
+    B = int(lanes)
+    K = int(harvest_every)
+    ctx = _solver_ctx(system, R, dr, Nts, rtol, atol, tf, dtype,
+                      linsolve_dtype, method, "xla", rhs_mixed)
+    M, Nr = ctx.M, ctx.Nr
+    t_save = jnp.linspace(0.0, tf, Nts + 1).astype(dtype)
+    if Co_all.ndim == 1:
+        Co_all = jnp.broadcast_to(Co_all, (N, 5))
+    h0 = jnp.asarray(h0, dtype)
+
+    def fresh(member):
+        """Initial lane state for (possibly clamped) member indices."""
+        live = member < N
+        midx = jnp.clip(member, 0, N - 1)
+        Co_l = Co_all[midx]                                  # (B, 5)
+        p_l = Params(D=params.D[midx], k=params.k[midx])
+        y0 = _lanes_y0(Co_l.T, M, dtype)
+        out_C = jnp.full((Nts + 1, N_CYTO, Nr + 1, B), jnp.nan, dtype)
+        out_m = jnp.full((Nts + 1, N_MEMB, B), jnp.nan, dtype)
+        C0f, m0f = ctx.snapshot(y0, p_l)
+        out_C = out_C.at[0].set(C0f)
+        out_m = out_m.at[0].set(m0f)
+        z = jnp.zeros((B,), dtype)
+        st = (z, jnp.full((B,), h0, dtype), y0,
+              jnp.ones((B,), jnp.int32), out_C, out_m,
+              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+              jnp.zeros((B,), bool))
+        return live, Co_l, p_l, st
+
+    def lanes_sol(out_C, out_m, Co_l):
+        """The batched Solution view of the lane buffers (vmapped-
+        Solution contract: broadcast t and r, like the engine's
+        chunk solver)."""
+        return Solution(
+            C=jnp.moveaxis(out_C, -1, 0), m=jnp.moveaxis(out_m, -1, 0),
+            t=jnp.broadcast_to(t_save, (B, Nts + 1)),
+            r=jnp.broadcast_to(ctx.r.astype(dtype), (B, Nr + 1)),
+            CoEGFR=Co_l[:, 4])
+
+    def extract_lanes(out_C, out_m, Co_l):
+        sol = lanes_sol(out_C, out_m, Co_l)
+        return jax.vmap(extract)(sol), sol
+
+    member0 = jnp.arange(B, dtype=jnp.int32)
+    live0, Co_l0, p_l0, st0 = fresh(member0)
+    vals_shape = jax.eval_shape(
+        lambda oc, om, col: extract_lanes(oc, om, col)[0],
+        st0[4], st0[5], Co_l0)
+    out_all0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros((N,) + s.shape[1:], s.dtype), vals_shape)
+    ok_all0 = jnp.zeros((N,), bool)
+    steps_all0 = jnp.zeros((N,), jnp.int32)
+
+    def lane_pending(live, st):
+        t, _, _, _, _, _, nacc, nrej, failed = st
+        return jnp.logical_and(
+            live, jnp.logical_and(
+                t < tf - ctx.eps,
+                jnp.logical_and(~failed, nacc + nrej < max_steps)))
+
+    def body(c):
+        (it, n_done, next_ptr, member, live, Co_l, p_l, st,
+         out_all, ok_all, steps_all) = c
+        active = lane_pending(live, st)
+        f = ctx.make_f(p_l)
+        st, _ = ctx.step(f, p_l, tf, active, st)
+        still = lane_pending(live, st)
+        finished = jnp.logical_and(live, ~still)
+        do_h = jnp.logical_and(
+            jnp.any(finished),
+            jnp.logical_or(jnp.equal(jnp.mod(it, K), K - 1),
+                           ~jnp.any(still)))
+
+        def harvest(op):
+            (n_done, next_ptr, member, live, Co_l, p_l, st,
+             out_all, ok_all, steps_all) = op
+            t, h, y, nts, out_C, out_m, nacc, nrej, failed = st
+            vals, sol = extract_lanes(out_C, out_m, Co_l)
+            # incomplete saves count as failure (chunked-path
+            # semantics: failed |= nts <= Nts at solve end)
+            failed_h = jnp.logical_or(failed, nts <= Nts)
+            okl = jnp.logical_and(
+                ~failed_h,
+                jnp.isfinite(sol.C[:, -1]).all(axis=(-2, -1)))
+            idx = jnp.where(finished, member, N)  # N -> dropped
+            out_all = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[idx].set(v.astype(buf.dtype),
+                                               mode="drop"),
+                out_all, vals)
+            ok_all = ok_all.at[idx].set(okl, mode="drop")
+            steps_all = steps_all.at[idx].set(nacc + nrej, mode="drop")
+            nf = jnp.sum(finished, dtype=jnp.int32)
+            ranks = jnp.cumsum(finished.astype(jnp.int32),
+                               dtype=jnp.int32) - 1
+            new_member = jnp.where(finished, next_ptr + ranks, member)
+            live2, Co_f, p_f, st_f = fresh(new_member)
+            sel = finished
+            sel_r = sel[:, None]
+            Co_l = jnp.where(sel_r, Co_f, Co_l)
+            p_l = Params(D=jnp.where(sel_r, p_f.D, p_l.D),
+                         k=jnp.where(sel_r, p_f.k, p_l.k))
+            st = tuple(
+                jnp.where(sel.reshape((1,) * (a.ndim - 1) + (B,)), fa, a)
+                for fa, a in zip(st_f, st))
+            live = jnp.where(sel, live2, live)
+            return (n_done + nf, next_ptr + nf, new_member, live,
+                    Co_l, p_l, st, out_all, ok_all, steps_all)
+
+        op = (n_done, next_ptr, member, live, Co_l, p_l, st,
+              out_all, ok_all, steps_all)
+        op = jax.lax.cond(do_h, harvest, lambda o: o, op)
+        return (it + 1,) + op
+
+    def cond(c):
+        return c[1] < N
+
+    carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(B), member0, live0,
+              Co_l0, p_l0, st0, out_all0, ok_all0, steps_all0)
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out[8], out[9], out[10]
+
+
+def solve_stiff_refill(
+    system: ReactionDiffusionSystem,
+    Co: jax.Array,
+    params: Params,
+    *,
+    extract: Callable = lambda sol: sol,
+    R: float = 10.0,
+    dr: float = 0.1,
+    tf: float = 5.0,
+    Nts: int = 100,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    max_steps: int = 20_000,
+    h0: float = 1e-5,
+    method: str = "trbdf2",
+    linsolve_dtype=None,
+    rhs_mixed: Optional[bool] = None,
+    lanes: int = 256,
+    harvest_every: int = 64,
+):
+    """Lane-refill stiff ensemble solve (see :func:`_solve_refill_impl`).
+
+    Returns ``(out, ok, steps)``: the per-member extracted pytree with
+    leading (N,) axis, a success mask, and per-member step counts.
+    ``extract`` must be a *stable* hashable callable (it keys the jit
+    cache); the default keeps full :class:`Solution` trajectories —
+    pass a reducer to keep 10k-member ensembles in HBM.
+    """
+    Co = jnp.asarray(Co)
+    params = Params(D=params.D.astype(Co.dtype), k=params.k.astype(Co.dtype))
+    if params.k.ndim != 2:
+        raise ValueError("solve_stiff_refill needs batched params (B, ...)")
+    ls = jnp.dtype(linsolve_dtype).name if linsolve_dtype else None
+    if rhs_mixed is None:
+        rhs_mixed = False
+    if rhs_mixed and Co.dtype == jnp.float32:
+        raise ValueError("rhs_mixed requires a float64 state")
+    return _solve_refill_impl(system, Co, params, float(R), float(dr),
+                              float(tf), int(Nts), rtol, atol,
+                              int(max_steps), float(h0), method, ls,
+                              int(lanes), int(harvest_every), extract,
+                              rhs_mixed=bool(rhs_mixed))
 
 
 def solve_stiff_batch(

@@ -335,3 +335,91 @@ class TestBatchSolve:
                 rel = float(jnp.max(jnp.abs(a - b))) / (
                     float(jnp.max(jnp.abs(a))) + 1e-30)
                 assert rel < 1e-12, rel
+
+
+def _final_profile(sol):
+    """Per-lane reducer: final-time total GAB1-SHP2 profile."""
+    return sol.PG1Stot[-1]
+
+
+class TestRefillScheduler:
+    """Lane-refill continuation batching vs the chunked scheduler.
+
+    The two schedulers share one copy of the step arithmetic
+    (ops/batch_stiff._solver_ctx) and all lane ops are elementwise in
+    the lane axis, so a member's step/acceptance sequence must match
+    EXACTLY whichever scheduler runs it — any step-count drift means a
+    cross-lane reduction leaked into lane values.  Values agree to
+    float roundoff only (XLA fuses differently-shaped programs with
+    different FMA associativity; measured <=6e-13 relative in f64).
+    """
+
+    def test_bitwise_matches_chunked(self):
+        from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_refill
+
+        system = g.base_system()
+        Co = g.default_co()
+        N = 10
+        pb = _param_batch(N, spread=0.3, seed=5)
+        kw = dict(dr=0.5, tf=2.0, Nts=4, rtol=1e-5, atol=1e-8,
+                  method="rodas4")
+        solb, statb = solve_stiff_batch(system, Co, pb, return_stats=True,
+                                        **kw)
+        out, ok, steps = solve_stiff_refill(system, Co, pb, lanes=4,
+                                            harvest_every=3, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(steps),
+            np.asarray(statb.n_accepted + statb.n_rejected))
+        np.testing.assert_allclose(np.asarray(out.C), np.asarray(solb.C),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out.m), np.asarray(solb.m),
+                                   rtol=1e-9, atol=1e-9)
+        assert np.asarray(ok).all()
+
+    def test_reducer_extract_and_small_queue(self):
+        """N < lanes (dead lanes from the start) + a reducing extract."""
+        from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_refill
+
+        system = g.base_system()
+        Co = g.default_co()
+        N = 3
+        pb = _param_batch(N, spread=0.2, seed=7)
+        kw = dict(dr=0.5, tf=1.0, Nts=2, rtol=1e-5, atol=1e-8,
+                  method="rodas4")
+        solb = solve_stiff_batch(system, Co, pb, **kw)
+        out, ok, _ = solve_stiff_refill(system, Co, pb, extract=_final_profile,
+                                        lanes=8, harvest_every=4, **kw)
+        want = np.asarray(solb.PG1Stot[:, -1])
+        np.testing.assert_allclose(np.asarray(out), want,
+                                   rtol=1e-9, atol=1e-9)
+        assert np.asarray(ok).all()
+
+    def test_failure_masking_and_batched_co(self):
+        """A poisoned lane is harvested as failed; its slot is refilled
+        and later members still solve; per-lane Co rows flow through."""
+        from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_refill
+
+        system = g.base_system()
+        Co = np.asarray(g.default_co())
+        N = 6
+        pb = _param_batch(N, spread=0.0)
+        packed = np.array(pb.pack())
+        packed[1, 7:] *= 1e12  # blow up one member's kinetics
+        pb = Params.unpack(jnp.asarray(packed))
+        Cob = jnp.asarray(np.stack([Co * (1.0 - 0.05 * i)
+                                    for i in range(N)]))
+        kw = dict(dr=1.0, tf=1.0, Nts=2, rtol=1e-5, atol=1e-8,
+                  max_steps=2000, method="rodas4")
+        solb, statb = solve_stiff_batch(system, Cob, pb, return_stats=True,
+                                        **kw)
+        out, ok, steps = solve_stiff_refill(system, Cob, pb, lanes=2,
+                                            harvest_every=5, **kw)
+        okb = ~np.asarray(statb.failed)
+        np.testing.assert_array_equal(np.asarray(ok), okb)
+        assert not np.asarray(ok)[1]
+        good = np.asarray(ok)
+        np.testing.assert_allclose(np.asarray(out.C)[good],
+                                   np.asarray(solb.C)[good],
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(out.CoEGFR),
+                                      np.asarray(Cob[:, 4]))
