@@ -26,7 +26,10 @@ import numpy as np
 from gab1_shp2_tpu.models.params import Params, stability_dt
 from gab1_shp2_tpu.models.system import ReactionDiffusionSystem
 from gab1_shp2_tpu.ops.explicit import solve_explicit
-from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch
+from gab1_shp2_tpu.ops.batch_stiff import (
+    solve_stiff_batch,
+    solve_stiff_refill,
+)
 
 
 def _identity(sol):
@@ -56,6 +59,8 @@ def run_ensemble(
     linsolve_dtype=None,
     max_steps: int = 20_000,
     jac_reuse=None,
+    scheduler: str = "sorted",
+    refill_group: Optional[int] = None,
 ):
     """Solve the PDE for every ensemble member.
 
@@ -82,6 +87,17 @@ def run_ensemble(
     device-wide super-chunk).  ``mesh`` overrides the default mesh
     (all of ``jax.devices()``); per-lane results are independent of
     device placement.
+
+    ``scheduler`` picks the stiff dispatch strategy: ``"sorted"`` (the
+    default pilot-fit cost-sorted chunking) or ``"refill"`` (lane-refill
+    continuation batching, ``ops.batch_stiff.solve_stiff_refill``: one
+    device program per ``refill_group`` members with finished lanes
+    swapped for queued ones in-flight — no lock-step chunk barrier at
+    all).  Refill is single-leg only (pulse-chase falls back to sorted
+    with a warning) and currently single-device (combine with
+    ``device_axis`` is not implemented).  Per-member results are
+    controller-identical between schedulers (exact step counts; values
+    to float roundoff).
     """
     if isinstance(ensemble, Params):
         pb = ensemble
@@ -120,6 +136,24 @@ def run_ensemble(
                float(rtol), float(atol), t_prechase, method, ls_key,
                int(max_steps), jac_reuse, extract)
 
+        if scheduler == "refill":
+            if device_axis is not None:
+                raise NotImplementedError(
+                    "scheduler='refill' + device_axis: shard the ensemble "
+                    "manually and run one refill queue per shard, or use "
+                    "scheduler='sorted'")
+            if t_prechase is not None:
+                warnings.warn(
+                    "scheduler='refill' is single-leg; pulse-chase ensembles "
+                    "fall back to the cost-sorted scheduler", stacklevel=2)
+            else:
+                return _run_stiff_refill(
+                    system, Co, pb, N, extract, chunk, refill_group,
+                    R=R, dr=dr, tf=tf, Nts=Nts, rtol=rtol, atol=atol,
+                    method=method, linsolve_dtype=linsolve_dtype,
+                    max_steps=max_steps)
+        elif scheduler != "sorted":
+            raise ValueError(f"unknown scheduler {scheduler!r}")
         if device_axis is not None:
             return _run_stiff_sharded(cfg, Co, pb, N, chunk, device_axis,
                                       mesh, sort=not jac_reuse)
@@ -177,6 +211,38 @@ def run_ensemble(
         out, ok = _run_stiff_cost_sorted(vone_steps, pb, N, chunk,
                                          sort=not jac_reuse)
     return out, ok
+
+
+def _run_stiff_refill(system, Co, pb, N, extract, chunk, refill_group, *,
+                      R, dr, tf, Nts, rtol, atol, method, linsolve_dtype,
+                      max_steps):
+    """Dispatch the stiff ensemble through the lane-refill scheduler.
+
+    Each dispatch is ONE device program over ``refill_group`` members
+    (``chunk`` lanes, finished lanes refilled in-flight — see
+    ``ops.batch_stiff.solve_stiff_refill``).  The group bounds the
+    single-execution wall for the TPU runtime's ~60 s watchdog: at the
+    sparse-output production configs (Nts=2, >=800 solves/s) the 4096
+    default is <6 s; dense-output runs (Nts>=50) inherit the same
+    conservative cap as the chunked path.
+    """
+    lanes = int(chunk) if chunk is not None else 256
+    if refill_group is None:
+        dense = Nts >= 50 and jax.devices()[0].platform == "tpu"
+        refill_group = lanes if dense else 4096
+    group = max(int(refill_group), lanes)
+
+    outs = []
+    for s in range(0, N, group):
+        p_g = jax.tree_util.tree_map(lambda a: a[s:s + group], pb)
+        Co_g = Co if jnp.asarray(Co).ndim == 1 else Co[s:s + group]
+        out, ok, _ = solve_stiff_refill(
+            system, Co_g, p_g, extract=extract, R=R, dr=dr, tf=tf,
+            Nts=Nts, rtol=rtol, atol=atol, max_steps=max_steps,
+            method=method, linsolve_dtype=linsolve_dtype, lanes=lanes)
+        outs.append((out, ok))
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
 def _build_chunk_fn(system, R, dr, tf, Nts, rtol, atol, t_prechase,

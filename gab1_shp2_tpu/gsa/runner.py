@@ -27,7 +27,7 @@ from gab1_shp2_tpu.gsa.efast import (
     log_bounds_around,
 )
 from gab1_shp2_tpu.gsa.sobol import SobolDesign, sobol_design, sobol_indices
-from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch
+from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch, solve_stiff_refill
 
 GSA_VAR_NAMES = ("r_1/2, SFK", "r_1/10, SFK", "r_1/2, pG1S2",
                  "r_1/10, pG1S2", "[pG1S2]_cent:surf", "[pG1S2]_average")
@@ -38,7 +38,7 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
                          rtol: float = 1e-4, atol: float = 1e-7,
                          chunk: int = 256, method: str = "rodas4",
                          dtype=None, max_steps: int = 2000,
-                         linsolve_dtype=None,
+                         linsolve_dtype=None, scheduler: str = "sorted",
                          ) -> Callable[[np.ndarray], np.ndarray]:
     """Batch evaluator over packed 24-parameter vectors -> (N, 6).
 
@@ -49,6 +49,19 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
     (``sapdesolver.jl:363-366``)."""
     if dtype is not None:
         Co = jnp.asarray(Co).astype(dtype)
+
+    if scheduler == "refill":
+        def refill(packed):
+            pb = Params.unpack(packed.astype(jnp.asarray(Co).dtype))
+            out, ok, _ = solve_stiff_refill(
+                system, Co, pb, extract=_GSAExtract(R), R=R, dr=dr, tf=tf,
+                Nts=2, rtol=rtol, atol=atol, method=method,
+                max_steps=max_steps, linsolve_dtype=linsolve_dtype)
+            return jnp.where(ok[:, None], out, jnp.zeros_like(out))
+
+        return _refill_batch(refill)
+    elif scheduler != "sorted":
+        raise ValueError(f"unknown scheduler {scheduler!r}")
 
     def batch(packed):
         pb = Params.unpack(packed.astype(Co.dtype))
@@ -69,12 +82,29 @@ def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
                         rtol: float = 1e-4, atol: float = 1e-7,
                         chunk: int = 256, method: str = "rodas4",
                         dtype=None, max_steps: int = 2000,
-                        linsolve_dtype=None,
+                        linsolve_dtype=None, scheduler: str = "sorted",
                         ) -> Callable[[np.ndarray], np.ndarray]:
     """Batch evaluator over initial-concentration 5-vectors -> (N, 6)
     (the concentration GSA, ``GSA_concs.jl``)."""
     if dtype is not None:
         params = Params(D=params.D.astype(dtype), k=params.k.astype(dtype))
+
+    if scheduler == "refill":
+        def refill(co):
+            B = co.shape[0]
+            pb = Params(
+                D=jnp.broadcast_to(params.D, (B,) + params.D.shape),
+                k=jnp.broadcast_to(params.k, (B,) + params.k.shape))
+            out, ok, _ = solve_stiff_refill(
+                system, co.astype(params.D.dtype), pb,
+                extract=_GSAExtract(R), R=R, dr=dr, tf=tf, Nts=2,
+                rtol=rtol, atol=atol, method=method, max_steps=max_steps,
+                linsolve_dtype=linsolve_dtype)
+            return jnp.where(ok[:, None], out, jnp.zeros_like(out))
+
+        return _refill_batch(refill)
+    elif scheduler != "sorted":
+        raise ValueError(f"unknown scheduler {scheduler!r}")
 
     def batch(co):
         B = co.shape[0]
@@ -91,6 +121,53 @@ def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
         return jnp.where(ok[:, None], out, jnp.zeros_like(out))
 
     return _chunked_batch(batch, chunk)
+
+
+class _GSAExtract:
+    """Per-lane GSA reducer, hashable by value so repeated evaluator
+    builds with the same ``R`` share one jit cache entry."""
+
+    def __init__(self, R: float):
+        self.R = float(R)
+
+    def __call__(self, sol):
+        return gsa_outputs(sol, self.R)
+
+    def __hash__(self):
+        return hash((type(self), self.R))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.R == self.R
+
+
+def _refill_batch(refill_fn, group: int = 2048):
+    """Dispatch an evaluator through the lane-refill scheduler.
+
+    No cost sorting needed: the refill queue packs lanes continuously,
+    so a pathological corner only ever stalls its own lane (the
+    lock-step chunk barrier the sorting worked around is gone).
+    ``group`` bounds the members per device program to stay well under
+    the TPU runtime's ~60 s single-execution watchdog even at
+    pathological-corner throughput.
+    """
+
+    def evaluate(X: np.ndarray) -> np.ndarray:
+        Xh = jnp.asarray(np.asarray(X))
+        n = Xh.shape[0]
+        outs = []
+        for s in range(0, n, group):
+            blk = Xh[s:s + group]
+            # pad the tail to a multiple of 256 so odd tails reuse at
+            # most a handful of cached executables instead of paying a
+            # fresh multi-minute TPU compile per design size
+            pad = (-blk.shape[0]) % 256
+            if pad:
+                blk = jnp.concatenate([blk, blk[-1:].repeat(pad, 0)], axis=0)
+            o = refill_fn(blk)
+            outs.append(np.asarray(o)[:blk.shape[0] - pad])
+        return np.concatenate(outs, axis=0)
+
+    return evaluate
 
 
 def _chunked_batch(batch_fn, chunk: int):

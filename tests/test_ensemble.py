@@ -83,6 +83,31 @@ class TestRunEnsemble:
                                    rtol=2e-3)
         np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
 
+    def test_refill_scheduler_matches_sorted(self):
+        """run_ensemble(scheduler='refill') returns the same per-member
+        results (exact step counts -> float-roundoff values) and ok
+        mask as the default cost-sorted chunked scheduler."""
+        batch = _small_batch(n=12, sigma=0.3, seed=3)
+        kw = dict(solver="stiff", extract=_pg1s_extract,
+                  rtol=1e-4, atol=1e-7, method="rodas4", **FAST)
+        a, oka = run_ensemble(base_system(), default_co(), batch,
+                              chunk=4, **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch,
+                              chunk=4, scheduler="refill", refill_group=8,
+                              **kw)
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_refill_pulse_chase_falls_back(self):
+        batch = _small_batch(n=4)
+        kw = dict(solver="stiff", extract=_pg1s_extract, rtol=1e-4,
+                  atol=1e-7, dr=0.5, tf=0.5, Nts=2, t_prechase=0.25)
+        with pytest.warns(UserWarning, match="single-leg"):
+            out, ok = run_ensemble(base_system(), default_co(), batch,
+                                   scheduler="refill", **kw)
+        assert out.shape[0] == 4 and bool(ok.all())
+
     def test_explicit_solver_path(self):
         batch = _small_batch(n=4)
         out, ok = run_ensemble(
