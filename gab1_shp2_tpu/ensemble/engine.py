@@ -26,6 +26,7 @@ import numpy as np
 from gab1_shp2_tpu.models.params import Params, stability_dt
 from gab1_shp2_tpu.models.system import ReactionDiffusionSystem
 from gab1_shp2_tpu.ops.explicit import solve_explicit
+from gab1_shp2_tpu.parallel.mesh import pad_to_multiple
 from gab1_shp2_tpu.ops.batch_stiff import (
     solve_stiff_batch,
     solve_stiff_refill,
@@ -94,8 +95,8 @@ def run_ensemble(
     device program per ``refill_group`` members with finished lanes
     swapped for queued ones in-flight — no lock-step chunk barrier at
     all).  Refill is single-leg only (pulse-chase falls back to sorted
-    with a warning) and currently single-device (combine with
-    ``device_axis`` is not implemented).  Per-member results are
+    with a warning); with ``device_axis`` every device runs its own
+    independent refill queue over its shard.  Per-member results are
     controller-identical between schedulers (exact step counts; values
     to float roundoff).
     """
@@ -137,11 +138,6 @@ def run_ensemble(
                int(max_steps), jac_reuse, extract)
 
         if scheduler == "refill":
-            if device_axis is not None:
-                raise NotImplementedError(
-                    "scheduler='refill' + device_axis: shard the ensemble "
-                    "manually and run one refill queue per shard, or use "
-                    "scheduler='sorted'")
             if t_prechase is not None:
                 warnings.warn(
                     "scheduler='refill' is single-leg; pulse-chase ensembles "
@@ -151,7 +147,8 @@ def run_ensemble(
                     system, Co, pb, N, extract, chunk, refill_group,
                     R=R, dr=dr, tf=tf, Nts=Nts, rtol=rtol, atol=atol,
                     method=method, linsolve_dtype=linsolve_dtype,
-                    max_steps=max_steps)
+                    max_steps=max_steps, device_axis=device_axis,
+                    mesh=mesh)
         elif scheduler != "sorted":
             raise ValueError(f"unknown scheduler {scheduler!r}")
         if device_axis is not None:
@@ -215,7 +212,7 @@ def run_ensemble(
 
 def _run_stiff_refill(system, Co, pb, N, extract, chunk, refill_group, *,
                       R, dr, tf, Nts, rtol, atol, method, linsolve_dtype,
-                      max_steps):
+                      max_steps, device_axis=None, mesh=None):
     """Dispatch the stiff ensemble through the lane-refill scheduler.
 
     Each dispatch is ONE device program over ``refill_group`` members
@@ -225,6 +222,12 @@ def _run_stiff_refill(system, Co, pb, N, extract, chunk, refill_group, *,
     sparse-output production configs (Nts=2, >=800 solves/s) the 4096
     default is <6 s; dense-output runs (Nts>=50) inherit the same
     conservative cap as the chunked path.
+
+    With ``device_axis`` each dispatch is one ``shard_map``-partitioned
+    program of ``n_devices * refill_group`` members: every device runs
+    its own independent refill queue over its shard (queues never
+    communicate — the per-device ``while_loop`` trip counts diverge
+    freely because no collective sits inside the loop).
     """
     lanes = int(chunk) if chunk is not None else 256
     if refill_group is None:
@@ -232,14 +235,42 @@ def _run_stiff_refill(system, Co, pb, N, extract, chunk, refill_group, *,
         refill_group = lanes if dense else 4096
     group = max(int(refill_group), lanes)
 
-    outs = []
-    for s in range(0, N, group):
-        p_g = jax.tree_util.tree_map(lambda a: a[s:s + group], pb)
-        Co_g = Co if jnp.asarray(Co).ndim == 1 else Co[s:s + group]
-        out, ok, _ = solve_stiff_refill(
+    def solve_group(Co_g, p_g):
+        return solve_stiff_refill(
             system, Co_g, p_g, extract=extract, R=R, dr=dr, tf=tf,
             Nts=Nts, rtol=rtol, atol=atol, max_steps=max_steps,
             method=method, linsolve_dtype=linsolve_dtype, lanes=lanes)
+
+    co_shared = jnp.asarray(Co).ndim == 1
+    if device_axis is not None:
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), (device_axis,))
+        elif device_axis not in mesh.axis_names:
+            raise ValueError(f"device_axis {device_axis!r} not in mesh "
+                             f"axes {mesh.axis_names}")
+        D = int(np.prod(mesh.devices.shape))
+        co_spec = P() if co_shared else P(device_axis)
+        solve_group = jax.shard_map(
+            solve_group, mesh=mesh, in_specs=(co_spec, P(device_axis)),
+            out_specs=P(device_axis), check_vma=False)
+        group *= D
+
+    outs = []
+    for s in range(0, N, group):
+        p_g = jax.tree_util.tree_map(lambda a: a[s:s + group], pb)
+        Co_g = Co if co_shared else Co[s:s + group]
+        if device_axis is not None:
+            # shards must be equal-size: pad the tail dispatch to a
+            # multiple of D (one extra executable for the tail size,
+            # same as the single-device path's tail), slice off below
+            p_g, n_g = pad_to_multiple(p_g, D)
+            if not co_shared:
+                Co_g, _ = pad_to_multiple(Co_g, D)
+        out, ok, _ = solve_group(Co_g, p_g)
+        if device_axis is not None:
+            out, ok = jax.tree_util.tree_map(lambda a: a[:n_g], (out, ok))
         outs.append((out, ok))
     return jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *outs)

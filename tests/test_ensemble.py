@@ -270,6 +270,25 @@ class TestSharding:
                                    rtol=1e-12)
         np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
 
+    def test_run_ensemble_device_axis_refill(self):
+        """Sharded lane-refill: every device runs its own independent
+        refill queue over its shard (divergent while_loop trip counts,
+        no collectives); results match the single-device scheduler."""
+        from gab1_shp2_tpu.parallel.mesh import ensemble_mesh
+
+        batch = _small_batch(n=20, sigma=0.3, seed=4)
+        kw = dict(solver="stiff", extract=_pg1s_extract,
+                  rtol=1e-4, atol=1e-7, method="rodas4", **FAST)
+        a, oka = run_ensemble(base_system(), default_co(), batch,
+                              chunk=4, **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch,
+                              chunk=2, scheduler="refill",
+                              device_axis="ensemble",
+                              mesh=ensemble_mesh(), **kw)
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
     def test_device_axis_explicit_raises(self):
         with pytest.raises(NotImplementedError):
             run_ensemble(base_system(), default_co(), _small_batch(n=4),
