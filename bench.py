@@ -54,6 +54,12 @@ BASELINE_SOLVES_PER_SEC = 1.0 / 49.21
 CHUNK = 256
 
 
+def _final_C(sol):
+    """Per-lane extract for the refill path: final-time bulk profiles
+    (matches the chunked loop's ``sol.C[:, -1]`` rows)."""
+    return sol.C[-1]
+
+
 def _measure_baseline():
     import gab1_shp2_tpu as g
     from tests.reference_numpy_solver import solve_numpy
@@ -71,7 +77,8 @@ def _measure_baseline():
 def main():
     import gab1_shp2_tpu as g
     from gab1_shp2_tpu.models.params import Params
-    from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch
+    from gab1_shp2_tpu.ops.batch_stiff import (solve_stiff_batch,
+                                               solve_stiff_refill)
 
     system = g.base_system()
     Co64 = g.default_co()
@@ -98,19 +105,42 @@ def main():
                                     + stats.n_rejected).max())
         return jnp.concatenate(outs), jnp.concatenate(fails), steps
 
-    def timed(Co, **kw):
-        out, failed, steps = run_chunks(Co, batch, **kw)  # warmup/compile
-        out.block_until_ready()
+    def run_refill(Co, pbatch, **kw):
+        pb = Params.unpack(jnp.asarray(pbatch, Co.dtype))
+        out, ok, steps = solve_stiff_refill(
+            system, Co, pb, extract=_final_C, dr=0.2, tf=5.0, Nts=2,
+            lanes=CHUNK, **kw)
+        return out, ~ok, steps
+
+    def timed(Co, scheduler="refill", **kw):
+        # timing by host materialization: np.asarray forces the fetch
+        # (a bare block_until_ready was observed returning before the
+        # execution completed on this backend — /tmp probe 2026-08-19)
+        run = run_refill if scheduler == "refill" else run_chunks
+        out, failed, steps = run(Co, batch, **kw)  # warmup/compile
+        _ = np.asarray(out)
         t0 = time.time()
-        out, failed, steps = run_chunks(Co, batch, **kw)
-        out.block_until_ready()
+        out, failed, steps = run(Co, batch, **kw)
+        _ = np.asarray(out)
         dt = time.time() - t0
+        if scheduler == "refill":
+            # whole-queue program: charge the max per-member step count
+            # as the loop depth proxy (refill has no chunk barriers)
+            steps = int(np.asarray(steps).max())
         return out, int(np.asarray(failed).sum()), dt, steps
 
-    # headline: f32 rodas4, rtol 1e-4 (round-1-comparable metric)
-    out, n_failed, dt, hl_steps = timed(Co32, rtol=1e-4, atol=1e-7,
-                                        method="rodas4")
+    # headline: f32 rodas4, rtol 1e-4, lane-refill scheduler (the
+    # production default since round 4; scripts/bench_refill.py)
+    out, n_failed, dt, _ = timed(Co32, rtol=1e-4, atol=1e-7,
+                                 method="rodas4")
     solves_per_sec = (N - n_failed) / dt
+
+    # chunked-scheduler detail row (round-3-comparable metric; also
+    # feeds the roofline's chunk-loop step counts)
+    out_ch, nf_ch, dt_ch, hl_steps = timed(Co32, scheduler="sorted",
+                                           rtol=1e-4, atol=1e-7,
+                                           method="rodas4")
+    ch_solves_per_sec = (N - nf_ch) / dt_ch
 
     # north star: f64 rodas4 + f32 linear solves at rtol 1e-6
     out_ns, nf_ns, dt_ns, _ = timed(Co64, rtol=1e-6, atol=1e-9,
@@ -160,7 +190,7 @@ def main():
     bytes_per_step = 17 * band_bytes + 20 * state_bytes
     flops_per_step = (2 * NB * (2 / 3 + 8) * n_spec**3 * CHUNK
                       + 24 * NB * 2 * n_spec**2 * CHUNK)
-    steps_per_sec = hl_steps / dt
+    steps_per_sec = hl_steps / dt_ch
     achieved_gbps = bytes_per_step * steps_per_sec / 1e9
     HBM_PEAK_GBPS = 819.0  # TPU v5e HBM bandwidth
 
@@ -174,7 +204,14 @@ def main():
             "wall_s": round(dt, 3),
             "failed": n_failed,
             "method": "batch-aware lane-minor rodas4+cyclic-reduction,"
-                      " float32",
+                      " float32, lane-refill scheduler",
+            "chunked_scheduler": {
+                "metric": "same config, cost-sorted 256-chunk dispatch "
+                          "(round-3-comparable)",
+                "solves_per_sec": round(ch_solves_per_sec, 3),
+                "wall_s": round(dt_ch, 3),
+                "failed": nf_ch,
+            },
             "max_rel_err_vs_f64_rtol1e-8": relerr,
             "north_star": {
                 "metric": "f64 rodas4 + f32 linsolve, rtol 1e-6",

@@ -60,7 +60,7 @@ def run_ensemble(
     linsolve_dtype=None,
     max_steps: int = 20_000,
     jac_reuse=None,
-    scheduler: str = "sorted",
+    scheduler: Optional[str] = None,
     refill_group: Optional[int] = None,
 ):
     """Solve the PDE for every ensemble member.
@@ -89,16 +89,21 @@ def run_ensemble(
     (all of ``jax.devices()``); per-lane results are independent of
     device placement.
 
-    ``scheduler`` picks the stiff dispatch strategy: ``"sorted"`` (the
-    default pilot-fit cost-sorted chunking) or ``"refill"`` (lane-refill
+    ``scheduler`` picks the stiff dispatch strategy: ``"sorted"``
+    (pilot-fit cost-sorted chunking) or ``"refill"`` (lane-refill
     continuation batching, ``ops.batch_stiff.solve_stiff_refill``: one
     device program per ``refill_group`` members with finished lanes
     swapped for queued ones in-flight — no lock-step chunk barrier at
-    all).  Refill is single-leg only (pulse-chase falls back to sorted
-    with a warning); with ``device_axis`` every device runs its own
-    independent refill queue over its shard.  Per-member results are
-    controller-identical between schedulers (exact step counts; values
-    to float roundoff).
+    all).  Default (``None``) = auto: refill for single-leg sparse-
+    output stiff ensembles (measured +24% on a 2048-member posterior,
+    2.3x on the eFAST corner box vs the sorted scheduler — v5e,
+    scripts/bench_refill.py 2026-08-19), sorted for pulse-chase (refill
+    is single-leg only), ``jac_reuse`` (collective refresh votes need
+    fixed chunk membership), and dense-output runs (Nts >= 50, where
+    the ~60 s TPU watchdog caps the queue at chunk size anyway).  With
+    ``device_axis`` every device runs its own independent refill queue
+    over its shard.  Per-member results are controller-identical
+    between schedulers (exact step counts; values to float roundoff).
     """
     if isinstance(ensemble, Params):
         pb = ensemble
@@ -137,6 +142,9 @@ def run_ensemble(
                float(rtol), float(atol), t_prechase, method, ls_key,
                int(max_steps), jac_reuse, extract)
 
+        if scheduler is None:
+            scheduler = ("refill" if t_prechase is None and not jac_reuse
+                         and Nts < 50 else "sorted")
         if scheduler == "refill":
             if t_prechase is not None:
                 warnings.warn(

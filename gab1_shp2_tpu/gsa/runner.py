@@ -38,7 +38,7 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
                          rtol: float = 1e-4, atol: float = 1e-7,
                          chunk: int = 256, method: str = "rodas4",
                          dtype=None, max_steps: int = 2000,
-                         linsolve_dtype=None, scheduler: str = "sorted",
+                         linsolve_dtype=None, scheduler: str = "refill",
                          ) -> Callable[[np.ndarray], np.ndarray]:
     """Batch evaluator over packed 24-parameter vectors -> (N, 6).
 
@@ -46,7 +46,15 @@ def make_param_evaluator(system: ReactionDiffusionSystem, Co, *,
     decades, and a few pathological corners of that box would otherwise
     dominate the lock-step batch wall-clock; capped-out lanes report
     zeros exactly like the reference's ``on_error=zeros(6)``
-    (``sapdesolver.jl:363-366``)."""
+    (``sapdesolver.jl:363-366``).
+
+    ``scheduler="refill"`` (default since round 4) dispatches through
+    the lane-refill continuation scheduler — measured 2.3x the
+    cost-sorted chunking over the eFAST corner box (1038 vs 450
+    solves/s, v5e 2026-08-19, scripts/bench_refill.py) because a
+    pathological corner stalls only its own lane, never a chunk;
+    ``"sorted"`` restores the round-3 proxy-sorted chunk dispatch
+    (results agree to f32 roundoff)."""
     if dtype is not None:
         Co = jnp.asarray(Co).astype(dtype)
 
@@ -82,10 +90,11 @@ def make_conc_evaluator(system: ReactionDiffusionSystem, params: Params, *,
                         rtol: float = 1e-4, atol: float = 1e-7,
                         chunk: int = 256, method: str = "rodas4",
                         dtype=None, max_steps: int = 2000,
-                        linsolve_dtype=None, scheduler: str = "sorted",
+                        linsolve_dtype=None, scheduler: str = "refill",
                         ) -> Callable[[np.ndarray], np.ndarray]:
     """Batch evaluator over initial-concentration 5-vectors -> (N, 6)
-    (the concentration GSA, ``GSA_concs.jl``)."""
+    (the concentration GSA, ``GSA_concs.jl``); ``scheduler`` as in
+    :func:`make_param_evaluator`."""
     if dtype is not None:
         params = Params(D=params.D.astype(dtype), k=params.k.astype(dtype))
 

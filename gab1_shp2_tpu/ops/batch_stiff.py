@@ -977,7 +977,7 @@ def solve_stiff_refill(
     linsolve_dtype=None,
     rhs_mixed: Optional[bool] = None,
     lanes: int = 256,
-    harvest_every: int = 64,
+    harvest_every: int = 4,
 ):
     """Lane-refill stiff ensemble solve (see :func:`_solve_refill_impl`).
 
@@ -986,6 +986,12 @@ def solve_stiff_refill(
     ``extract`` must be a *stable* hashable callable (it keys the jit
     cache); the default keeps full :class:`Solution` trajectories —
     pass a reducer to keep 10k-member ensembles in HBM.
+
+    ``harvest_every=4`` measured best on v5e (2048-member posterior,
+    f32 rodas4 production config: K=1/2/4/8/16/64 -> 3893/3963/3962/
+    3921/3786/3093 solves/s; the harvest cond's false branch is nearly
+    free, so frequent refills win until the harvest itself — extract +
+    member scatter + lane reseed — shows up at K=1).
     """
     Co = jnp.asarray(Co)
     params = Params(D=params.D.astype(Co.dtype), k=params.k.astype(Co.dtype))

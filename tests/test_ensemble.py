@@ -46,7 +46,8 @@ class TestRunEnsemble:
         # only holds for the exact-refresh path; the default (reuse)
         # path is chunk-independent to integration tolerance only
         kw = dict(solver="stiff", extract=lambda s: s.PG1Stot[-1],
-                  rtol=1e-4, atol=1e-7, jac_reuse=False, **FAST)
+                  rtol=1e-4, atol=1e-7, jac_reuse=False,
+                  scheduler="sorted", **FAST)
         a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
         b, okb = run_ensemble(base_system(), default_co(), batch, chunk=2,
                               **kw)
@@ -63,7 +64,8 @@ class TestRunEnsemble:
         differs."""
         batch = _small_batch(n=12, sigma=0.3)
         kw = dict(solver="stiff", extract=lambda s: s.PG1Stot[-1],
-                  rtol=1e-4, atol=1e-7, method="rodas4", chunk=4, **FAST)
+                  rtol=1e-4, atol=1e-7, method="rodas4", chunk=4,
+                  scheduler="sorted", **FAST)
         a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
         b, okb = run_ensemble(base_system(), default_co(), batch,
                               jac_reuse=True, **kw)
@@ -91,7 +93,7 @@ class TestRunEnsemble:
         kw = dict(solver="stiff", extract=_pg1s_extract,
                   rtol=1e-4, atol=1e-7, method="rodas4", **FAST)
         a, oka = run_ensemble(base_system(), default_co(), batch,
-                              chunk=4, **kw)
+                              chunk=4, scheduler="sorted", **kw)
         b, okb = run_ensemble(base_system(), default_co(), batch,
                               chunk=4, scheduler="refill", refill_group=8,
                               **kw)
@@ -232,7 +234,8 @@ class TestSharding:
         Co = jnp.asarray(default_co(), jnp.float32)
         batch = _small_batch(n=64, sigma=0.1).astype(jnp.float32)
         kw = dict(solver="stiff", extract=_pg1s_extract, dr=0.2, tf=5.0,
-                  Nts=2, rtol=1e-4, atol=1e-7, method="rodas4", chunk=8)
+                  Nts=2, rtol=1e-4, atol=1e-7, method="rodas4", chunk=8,
+                  scheduler="sorted")
         a, oka = run_ensemble(system, Co, batch, **kw)
         b, okb = run_ensemble(system, Co, batch,
                               device_axis="ensemble", **kw)
@@ -247,7 +250,7 @@ class TestSharding:
         with repeats, solves one sharded dispatch, and slices back."""
         batch = _small_batch(n=5)
         kw = dict(solver="stiff", extract=_pg1s_extract, rtol=1e-4,
-                  atol=1e-7, method="rodas4", **FAST)
+                  atol=1e-7, method="rodas4", scheduler="sorted", **FAST)
         a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
         b, okb = run_ensemble(base_system(), default_co(), batch,
                               device_axis="ensemble", **kw)
@@ -262,7 +265,8 @@ class TestSharding:
         engine after un-sorting (f64: bitwise-level agreement)."""
         batch = _small_batch(n=24, sigma=0.3, seed=7)
         kw = dict(solver="stiff", extract=_pg1s_extract, rtol=1e-4,
-                  atol=1e-7, method="rodas4", jac_reuse=False, **FAST)
+                  atol=1e-7, method="rodas4", jac_reuse=False,
+                  scheduler="sorted", **FAST)
         a, oka = run_ensemble(base_system(), default_co(), batch, **kw)
         b, okb = run_ensemble(base_system(), default_co(), batch,
                               chunk=1, device_axis="ensemble", **kw)
