@@ -112,16 +112,23 @@ def main():
             lanes=CHUNK, **kw)
         return out, ~ok, steps
 
+    def sync(out):
+        # fetch a device-side scalar reduction: forces completion of
+        # everything it depends on while moving 4 bytes.  (np.asarray
+        # of the full output adds an ~0.08 s tunnel fetch of ~2 MB
+        # that is not solve time; bare block_until_ready was once
+        # observed returning early on this backend — measured
+        # chunked/refill scalar 3826/4019 vs mat 3017/2933 solves/s,
+        # /tmp/probe_sync2 2026-08-19.)
+        return float(jnp.sum(out))
+
     def timed(Co, scheduler="refill", **kw):
-        # timing by host materialization: np.asarray forces the fetch
-        # (a bare block_until_ready was observed returning before the
-        # execution completed on this backend — /tmp probe 2026-08-19)
         run = run_refill if scheduler == "refill" else run_chunks
         out, failed, steps = run(Co, batch, **kw)  # warmup/compile
-        _ = np.asarray(out)
+        sync(out)
         t0 = time.time()
         out, failed, steps = run(Co, batch, **kw)
-        _ = np.asarray(out)
+        sync(out)
         dt = time.time() - t0
         if scheduler == "refill":
             # whole-queue program: charge the max per-member step count
