@@ -8,7 +8,11 @@ via workloads.run_base_model.perturbation_profiles.  Usage:
     python -u scripts/run_perturb_profiles.py [--cpu]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 
