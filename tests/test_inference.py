@@ -209,20 +209,31 @@ class TestExactVsSurrogatePosterior:
     This closes the validation gap the importance-ESS alone leaves
     open: the exact chain explores with the exact likelihood, so mass
     the surrogate chain never visits would show up here.  Committed
-    run: medians agree within x1.48 (kSa, the flat-ridge direction),
-    x1.11 elsewhere; all central-50% intervals overlap."""
+    round-3 run (2x200): medians agree within x1.48 (kSa, the
+    flat-ridge direction), x1.11 elsewhere; all central-50% intervals
+    overlap.  The gate scales with the run's draw count — the
+    reference-scale 5x1000 run (``scripts/run_exact_nuts_r4.sh``,
+    checkpointed/resumable, harvestable mid-run via
+    ``scripts/harvest_exact_nuts_ckpt.py``) is held to x1.25 on
+    medians (MC error of a lognormal-ish median shrinks ~1/sqrt(n);
+    400 draws measured x1.48 worst => >=2500 draws supports x1.25)."""
 
-    def test_quantile_agreement(self):
+    @pytest.mark.parametrize("run_dir", ["exact_nuts", "exact_nuts_r4"])
+    def test_quantile_agreement(self, run_dir):
         import csv
         import os
 
         here = os.path.dirname(__file__)
         base = os.path.join(here, "..", "results", "inference")
-        exact_path = os.path.join(base, "exact_nuts",
+        exact_path = os.path.join(base, run_dir,
                                   "posterior_quantiles.csv")
         sur_path = os.path.join(base, "posterior_quantiles.csv")
         if not (os.path.exists(exact_path) and os.path.exists(sur_path)):
             pytest.skip("exact-NUTS validation artifacts not generated")
+        with open(os.path.join(base, run_dir,
+                               "posterior_samples.csv")) as f:
+            n_draws = sum(1 for _ in f) - 1
+        tol = 1.25 if n_draws >= 2500 else 2.0
 
         def load(path):
             out = {}
@@ -237,5 +248,5 @@ class TestExactVsSurrogatePosterior:
         for n in exact:
             em, elo, ehi = exact[n]
             sm, slo, shi = sur[n]
-            assert sm / 2.0 < em < sm * 2.0, (n, em, sm)
+            assert sm / tol < em < sm * tol, (n, em, sm, tol)
             assert elo < shi and slo < ehi, (n, (elo, ehi), (slo, shi))
