@@ -323,16 +323,24 @@ def _adapt(state: NUTSState, info: NUTSInfo, t: jax.Array, *,
                           w_m2=m2 if adapt_mass else state.w_m2)
 
 
-@partial(jax.jit, static_argnames=("logdensity", "num_warmup", "max_depth",
-                                  "target_accept"))
-def warmup(logdensity: Callable, q0: jax.Array, rng: jax.Array, *,
-           num_warmup: int = 500, max_depth: int = 10,
-           target_accept: float = 0.65,
-           init_step_size: float = 0.1) -> NUTSState:
-    """Adaptation phase: dual-averaged step size + diagonal mass matrix
-    (Welford estimate adopted at the warmup midpoint).  Returns the
-    ready-to-sample chain state."""
-    state = init(logdensity, q0, rng, step_size=init_step_size)
+@partial(jax.jit, static_argnames=("logdensity", "num_block", "num_warmup",
+                                  "max_depth", "target_accept"))
+def warmup_block(logdensity: Callable, state: NUTSState, t_start: jax.Array,
+                 *, num_block: int, num_warmup: int, max_depth: int = 10,
+                 target_accept: float = 0.65) -> NUTSState:
+    """Run ``num_block`` adaptation steps starting at warmup index
+    ``t_start`` (traced, so one compile serves every block).
+
+    Exposes warmup in resumable pieces exactly like ``sample`` exposes
+    the draw phase: a multi-hour exact-likelihood warmup
+    (``workloads/fit_and_infer._run_chains_on``) checkpoints the small
+    ``NUTSState`` pytree between blocks instead of risking the whole
+    adaptation phase on one uninterrupted process.  The mass-matrix
+    midpoint adoption fires inside whichever block contains
+    ``num_warmup // 2``.  Finalization (adopting the dual-averaged
+    step size) is the caller's job once ``t_start + num_block``
+    reaches ``num_warmup`` — apply ``warmup_finalize`` (idempotent).
+    """
 
     def warm_step(state, t):
         state, info = _nuts_step(logdensity, state, max_depth=max_depth)
@@ -351,8 +359,32 @@ def warmup(logdensity: Callable, q0: jax.Array, rng: jax.Array, *,
         )
         return state, None
 
-    state, _ = jax.lax.scan(warm_step, state, jnp.arange(num_warmup))
+    ts = jnp.asarray(t_start, jnp.int32) + jnp.arange(num_block,
+                                                      dtype=jnp.int32)
+    state, _ = jax.lax.scan(warm_step, state, ts)
+    return state
+
+
+def warmup_finalize(state: NUTSState) -> NUTSState:
+    """Adopt the dual-averaged step size after the last warmup block
+    (idempotent: ``log_eps_bar`` is untouched, so re-applying after a
+    resume is harmless)."""
     return state._replace(step_size=jnp.exp(state.log_eps_bar))
+
+
+def warmup(logdensity: Callable, q0: jax.Array, rng: jax.Array, *,
+           num_warmup: int = 500, max_depth: int = 10,
+           target_accept: float = 0.65,
+           init_step_size: float = 0.1) -> NUTSState:
+    """Adaptation phase: dual-averaged step size + diagonal mass matrix
+    (Welford estimate adopted at the warmup midpoint).  Returns the
+    ready-to-sample chain state.  One-shot wrapper over
+    ``warmup_block`` + ``warmup_finalize``."""
+    state = init(logdensity, q0, rng, step_size=init_step_size)
+    state = warmup_block(logdensity, state, 0, num_block=num_warmup,
+                         num_warmup=num_warmup, max_depth=max_depth,
+                         target_accept=target_accept)
+    return warmup_finalize(state)
 
 
 @partial(jax.jit, static_argnames=("logdensity", "num_samples", "max_depth"))

@@ -40,7 +40,13 @@ from gab1_shp2_tpu.inference.loss import (
     prior_box,
 )
 from gab1_shp2_tpu.inference.map_fit import map_fit
-from gab1_shp2_tpu.inference.nuts import NUTSState, sample, warmup
+from gab1_shp2_tpu.inference.nuts import (
+    NUTSState,
+    init as nuts_init,
+    sample,
+    warmup_block,
+    warmup_finalize,
+)
 from gab1_shp2_tpu.inference.surrogate import (
     build_surrogate,
     importance_reweight,
@@ -170,38 +176,62 @@ def _run_chains(lp, x_map, args, checkpoint_cfg, out):
 def _run_chains_on(lp, x_map, args, checkpoint_cfg, out):
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.chains)
     block = max(1, min(100, args.samples))
+    # warmup is checkpointed in blocks too: on the exact likelihood a
+    # 200-step adaptation phase is itself multi-hour, and losing it to
+    # a machine recycle restarts the whole run (round-4 lesson)
+    wblock = max(1, min(20, args.warmup))
     ck = Checkpointer("nuts", checkpoint_cfg, cache_dir=f"{out}/cache",
                       every=60.0)
     saved = ck.restore()
 
-    vwarm = jax.vmap(lambda k: warmup(
-        lp, x_map, k, num_warmup=args.warmup,
-        max_depth=args.max_depth, target_accept=0.65,
-        init_step_size=args.init_step))
+    vwarm = jax.vmap(
+        lambda s, t0, nb: warmup_block(
+            lp, s, t0, num_block=nb, num_warmup=args.warmup,
+            max_depth=args.max_depth, target_accept=0.65),
+        in_axes=(0, None, None))
     vsample = jax.vmap(lambda s: sample(lp, s, num_samples=block,
                                         max_depth=args.max_depth))
 
     if saved is None:
-        state = vwarm(keys)
-        qs_blocks, div_blocks, done = [], [], 0
+        state = jax.vmap(lambda k: nuts_init(
+            lp, x_map, k, step_size=args.init_step))(keys)
+        qs_blocks, div_blocks, done, wdone = [], [], 0, 0
     else:
         state = NUTSState(*[jnp.asarray(saved[f"s{i}"])
                             for i in range(len(NUTSState._fields))])
-        qs_blocks = [saved["qs"]]
-        div_blocks = [saved["div"]]
-        done = int(saved["done"])
-        print(f"resumed NUTS at {done}/{args.samples} samples")
+        # pre-blocked-warmup checkpoints lack "wdone": they were only
+        # ever written after warmup completed
+        wdone = int(saved.get("wdone", args.warmup))
+        qs_blocks = [saved["qs"]] if "qs" in saved else []
+        div_blocks = [saved["div"]] if "div" in saved else []
+        done = int(saved["done"]) if "done" in saved else 0
+        print(f"resumed NUTS at warmup {wdone}/{args.warmup}, "
+              f"{done}/{args.samples} samples")
+
+    def save_ckpt():
+        ck.maybe_save({**{f"s{i}": np.asarray(l) for i, l in
+                          enumerate(state)},
+                       "wdone": wdone, "done": done,
+                       **({"qs": np.concatenate(qs_blocks, axis=1),
+                           "div": np.concatenate(div_blocks, axis=1)}
+                          if qs_blocks else {})})
+
+    while wdone < args.warmup:
+        nb = min(wblock, args.warmup - wdone)
+        state = vwarm(state, wdone, nb)
+        wdone += nb
+        if wdone >= args.warmup:
+            # idempotent: safe if the process dies and re-applies it
+            state = warmup_finalize(state)
+        save_ckpt()
+        print(f"  warmup {wdone}/{args.warmup}", flush=True)
 
     while done < args.samples:
         state, qs, info = vsample(state)
         qs_blocks.append(np.asarray(qs))
         div_blocks.append(np.asarray(info["diverged"]))
         done += block
-        ck.maybe_save({**{f"s{i}": np.asarray(l) for i, l in
-                          enumerate(state)},
-                       "qs": np.concatenate(qs_blocks, axis=1),
-                       "div": np.concatenate(div_blocks, axis=1),
-                       "done": done})
+        save_ckpt()
         print(f"  {done}/{args.samples} samples", flush=True)
     ck.clear()
 

@@ -49,6 +49,32 @@ class TestNUTS:
         np.testing.assert_allclose(qs.mean(0), np.asarray(mu), atol=0.3)
         np.testing.assert_allclose(qs.std(0), np.asarray(sig), rtol=0.15)
 
+    def test_blocked_warmup_matches_one_shot(self):
+        """Resumable blocked warmup (``warmup_block`` pieces, the
+        checkpointed path in ``fit_and_infer._run_chains_on``) must
+        reproduce the one-shot ``warmup`` exactly: same adaptation
+        trajectory, same midpoint mass adoption, same final
+        dual-averaged step size — blocking only changes where the
+        carried ``NUTSState`` is materialized."""
+        from gab1_shp2_tpu.inference.nuts import (
+            init, warmup, warmup_block, warmup_finalize)
+
+        logp = lambda q: -0.5 * jnp.sum(q**2)
+        key = jax.random.PRNGKey(7)
+        one = warmup(logp, jnp.zeros(3), key, num_warmup=50, max_depth=6)
+
+        state = init(logp, jnp.zeros(3), key, step_size=0.1)
+        for t0, nb in ((0, 20), (20, 20), (40, 10)):  # uneven blocks
+            state = warmup_block(logp, state, t0, num_block=nb,
+                                 num_warmup=50, max_depth=6)
+        blocked = warmup_finalize(state)
+        # finalize is idempotent (resume may re-apply it)
+        blocked = warmup_finalize(blocked)
+
+        for a, b, name in zip(one, blocked, one._fields):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name)
+
     def test_tree_depth_symmetric(self):
         """Regression test for the direction-aware within-subtree U-turn
         check: with the sign-inverted check, backward-built subtrees
