@@ -231,14 +231,28 @@ def make_log_posterior(
     prior_mu = jnp.asarray(prior_mu)
     prior_sigma = jnp.asarray(prior_sigma)
     qmax = prior_mu + trunc_decades * math.log(10.0)
+    # Hard support gate: the solver is only evaluated on a clipped q,
+    # and the density is -inf outside.  The box is far in the prior
+    # tail (8 sigma below the mode / one e-fold past the truncation
+    # barrier, relative density < e-30), so it carries no posterior
+    # mass — but during early warmup, large trial steps can propose
+    # exp(q) ~ e^700, where the stiff solve overflows and its forward
+    # tangents go NaN.  Clipping keeps the solve (and its JVPs) on
+    # sane inputs; the -inf outside makes such proposals clean
+    # divergences (Stan's rejection semantics) instead of NaNs.
+    support_lo = prior_mu - 8.0 * prior_sigma
+    support_hi = qmax + 1.0
 
     def logpost_fwdonly(q: jax.Array) -> jax.Array:
         lp = jnp.sum(_normal_logpdf(q, prior_mu, prior_sigma))
         # steep smooth barrier for the upper truncation
         over = jnp.maximum(q - qmax, 0.0)
         lp = lp - 1e4 * jnp.sum(over**2)
-        return lp + datum_loglik(observable(q), datum=datum,
-                                 datum_sigma=datum_sigma)
+        q_s = jnp.clip(q, support_lo, support_hi)
+        ll = datum_loglik(observable(q_s), datum=datum,
+                          datum_sigma=datum_sigma)
+        inside = jnp.all((q >= support_lo) & (q <= support_hi))
+        return jnp.where(inside, lp + ll, -jnp.inf)
 
     if not wrap_vjp:
         return logpost_fwdonly
@@ -258,7 +272,19 @@ def reverse_differentiable(f: Callable) -> Callable:
         return f(x)
 
     def g_fwd(x):
-        return f(x), jax.jacfwd(f)(x)
+        v = f(x)
+        grad = jax.jacfwd(f)(x)
+        # Stan semantics: a point where the density or its gradient is
+        # non-finite is outside the usable support — report -inf (the
+        # sampler treats the proposal as a divergence) with a zero
+        # gradient, never NaN (which would poison warmup adaptation;
+        # near-failure stiff solves can yield finite values with NaN
+        # forward tangents).
+        bad = jnp.logical_or(~jnp.isfinite(v),
+                             ~jnp.all(jnp.isfinite(grad)))
+        v = jnp.where(bad, -jnp.inf, v)
+        grad = jnp.where(bad, jnp.zeros_like(grad), grad)
+        return v, grad
 
     def g_bwd(grad, ct):
         return (ct * grad,)

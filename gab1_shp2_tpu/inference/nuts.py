@@ -198,8 +198,17 @@ def _nuts_step(logdensity: Callable, state: NUTSState, *,
             p = direction * p
             H = -logp + _kinetic(p, inv_mass)
             delta = H - H0
-            diverged = jnp.logical_or(~jnp.isfinite(delta),
-                                      delta > _MAX_DELTA)
+            # A non-finite energy error (NaN logp/grad from a failed
+            # PDE solve, inf from overflow) is a divergence and must
+            # act like one numerically: +inf gives this leaf zero
+            # multinomial weight and zero acceptance contribution.
+            # Letting NaN through instead poisons the dual-averaging
+            # h_bar/log_eps_bar PERMANENTLY (observed: the round-4
+            # 5x1000 exact-likelihood run froze all chains with
+            # 5000/5000 divergences after warmup adapted to a NaN
+            # step size).
+            delta = jnp.where(jnp.isfinite(delta), delta, jnp.inf)
+            diverged = delta > _MAX_DELTA
             log_w = -delta  # multinomial weight of this leaf
             accept_p = jnp.minimum(1.0, jnp.exp(-delta))
 
@@ -305,8 +314,13 @@ def _adapt(state: NUTSState, info: NUTSInfo, t: jax.Array, *,
            adapt_mass: bool = True) -> NUTSState:
     """Dual averaging (Hoffman & Gelman 2014) + Welford mass update."""
     tt = t.astype(state.q.dtype) + 1.0
+    # defense in depth: a non-finite acceptance statistic (possible
+    # only if the logdensity itself emits non-finite values that slip
+    # past the leaf guard in _nuts_step) counts as "rejected
+    # everything" rather than contaminating the adaptation state
+    acc = jnp.where(jnp.isfinite(info.accept_stat), info.accept_stat, 0.0)
     h_bar = (1.0 - 1.0 / (tt + t0)) * state.h_bar + (
-        target_accept - info.accept_stat) / (tt + t0)
+        target_accept - acc) / (tt + t0)
     log_eps = state.mu - jnp.sqrt(tt) / gamma * h_bar
     w = tt ** (-kappa)
     log_eps_bar = w * log_eps + (1.0 - w) * state.log_eps_bar

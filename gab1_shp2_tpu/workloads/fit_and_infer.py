@@ -39,6 +39,7 @@ from gab1_shp2_tpu.inference.loss import (
     make_observable_fn,
     prior_box,
 )
+from gab1_shp2_tpu.inference.diagnostics import check_chains
 from gab1_shp2_tpu.inference.map_fit import map_fit
 from gab1_shp2_tpu.inference.nuts import (
     NUTSState,
@@ -155,7 +156,7 @@ def main(argv=None):
         _predictive_checks(obs, samples, args, out, tag)
 
 
-def _run_chains(lp, x_map, args, checkpoint_cfg, out):
+def _run_chains(lp, x_map, args, checkpoint_cfg, out, tag=""):
     """Warmup + block-sampled vmapped chains with checkpoint/resume.
 
     Pinned to the host CPU device: the sampling loop is op-latency
@@ -170,10 +171,10 @@ def _run_chains(lp, x_map, args, checkpoint_cfg, out):
     except RuntimeError:  # CPU-only test envs: already there
         cpu = jax.devices()[0]
     with jax.default_device(cpu):
-        return _run_chains_on(lp, x_map, args, checkpoint_cfg, out)
+        return _run_chains_on(lp, x_map, args, checkpoint_cfg, out, tag)
 
 
-def _run_chains_on(lp, x_map, args, checkpoint_cfg, out):
+def _run_chains_on(lp, x_map, args, checkpoint_cfg, out, tag=""):
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.chains)
     block = max(1, min(100, args.samples))
     # warmup is checkpointed in blocks too: on the exact likelihood a
@@ -239,6 +240,29 @@ def _run_chains_on(lp, x_map, args, checkpoint_cfg, out):
     div_all = np.concatenate(div_blocks, axis=1)[:, : args.samples]
     print(f"NUTS: {args.chains}x{args.samples} samples, "
           f"{int(div_all.sum())} divergences")
+
+    # sampler health gate (split R-hat / ESS / frozen-chain detection,
+    # inference/diagnostics.py): the round-4 exact run shipped frozen
+    # chains that only a human eyeballing divergence counts would have
+    # caught — record the verdict next to the artifacts and refuse
+    # silently-garbage output with a loud banner
+    report = check_chains(qs_all, div_all, names=FIT_NAMES)
+    common.save_csv(
+        f"{out}/nuts_diagnostics{tag}.csv",
+        ["param", "rhat", "ess"],
+        [[n, report["rhat"][n], report["ess"][n]] for n in FIT_NAMES]
+        + [["_divergence_rate", report["divergence_rate"], ""],
+           ["_ok", int(report["ok"]), ""]])
+    if not report["ok"]:
+        print("!" * 64)
+        print("NUTS HEALTH CHECK FAILED — do not use these samples:")
+        for f in report["failures"]:
+            print(f"  - {f}")
+        print("!" * 64)
+    else:
+        worst = max(report["rhat"].values())
+        print(f"NUTS health: ok (worst rhat {worst:.3f}, "
+              f"min ess {min(report['ess'].values()):.0f})")
     return qs_all, div_all
 
 
@@ -265,7 +289,7 @@ def _run_nuts_surrogate(args, Co, x_map, out, tag):
     cfg = {"surrogate": args.grid_n, "co": tag, "chains": args.chains,
            "warmup": args.warmup, "samples": args.samples,
            "seed": args.seed}
-    qs_all, div_all = _run_chains(lp, x_map, args, cfg, out)
+    qs_all, div_all = _run_chains(lp, x_map, args, cfg, out, tag)
     return qs_all, div_all, sur
 
 
@@ -280,7 +304,7 @@ def _run_nuts_exact(args, Co, x_map, out, tag):
     cfg = {"dr": args.dr, "rtol": args.rtol, "co": tag, "method": "rodas4",
            "chains": args.chains, "warmup": args.warmup,
            "samples": args.samples, "seed": args.seed}
-    return _run_chains(lp, x_map, args, cfg, out)
+    return _run_chains(lp, x_map, args, cfg, out, tag)
 
 
 def _reweight_and_save(args, Co, qs_all, sur, out, tag):

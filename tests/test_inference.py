@@ -1,6 +1,8 @@
 """Inference stack tests: NUTS on analytic targets, gradients through
 the stiff solver, MAP fitting, and the Bayesian model."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +50,45 @@ class TestNUTS:
         qs = np.asarray(qs)
         np.testing.assert_allclose(qs.mean(0), np.asarray(mu), atol=0.3)
         np.testing.assert_allclose(qs.std(0), np.asarray(sig), rtol=0.15)
+
+    def test_nan_region_cannot_poison_adaptation(self):
+        """A logdensity that returns NaN outside a wall (the exact PDE
+        likelihood does this when a solve fails or its forward tangents
+        overflow) must act like a divergence wall, not poison warmup.
+
+        Regression for the round-4 5x1000 exact-likelihood run: one NaN
+        accept-statistic during warmup made dual averaging's h_bar —
+        and hence the finalized step size — NaN, freezing every chain
+        with 100% post-warmup divergences.  With the leaf-level
+        non-finite-delta guard in ``_nuts_step`` the same target warms
+        up to a finite step size and samples the interior correctly."""
+        from gab1_shp2_tpu.inference.nuts import (
+            init, sample, warmup_block, warmup_finalize)
+
+        def logp(q):
+            v = -0.5 * jnp.sum(q**2)
+            return jnp.where(jnp.any(jnp.abs(q) > 4.0), jnp.nan, v)
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        st = jax.vmap(lambda k: init(logp, jnp.zeros(4), k,
+                                     step_size=0.1))(keys)
+        for t0 in range(0, 200, 20):  # blocked, as the workload runs it
+            st = jax.vmap(
+                lambda s, t: warmup_block(logp, s, t, num_block=20,
+                                          num_warmup=200, max_depth=6),
+                in_axes=(0, None))(st, t0)
+        st = warmup_finalize(st)
+        assert np.all(np.isfinite(np.asarray(st.step_size)))
+
+        _, qs, info = jax.vmap(
+            lambda s: sample(logp, s, num_samples=200, max_depth=6))(st)
+        qs = np.asarray(qs)
+        div = np.asarray(info["diverged"])
+        assert div.mean() < 0.2, f"divergence rate {div.mean():.2f}"
+        for c in range(qs.shape[0]):  # chains move (were frozen solid)
+            assert len(np.unique(qs[c, :, 0])) > 100
+        np.testing.assert_allclose(qs[..., 0].mean(), 0.0, atol=0.15)
+        np.testing.assert_allclose(qs[..., 0].std(), 1.0, atol=0.15)
 
     def test_blocked_warmup_matches_one_shot(self):
         """Resumable blocked warmup (``warmup_block`` pieces, the
@@ -172,6 +213,61 @@ class TestMAPFit:
         assert np.isfinite(qs).all()
         # the chain explores (not stuck at the initial point)
         assert np.std(qs, axis=0).max() > 0.05
+
+
+class TestDiagnostics:
+    """Split R-hat / rank-normalized ESS / frozen-chain gate
+    (``inference/diagnostics.py``) — the automated sampler health check
+    the round-4 frozen exact run showed was missing."""
+
+    def test_iid_chains_pass(self):
+        rng = np.random.default_rng(0)
+        qs = rng.normal(size=(4, 500, 3))
+        from gab1_shp2_tpu.inference.diagnostics import check_chains
+
+        rep = check_chains(qs, np.zeros((4, 500)))
+        assert rep["ok"], rep["failures"]
+        assert all(r < 1.02 for r in rep["rhat"].values())
+        # iid draws: ESS should be close to the sample count
+        assert all(e > 0.6 * 2000 for e in rep["ess"].values())
+
+    def test_shifted_chain_fails_rhat(self):
+        rng = np.random.default_rng(1)
+        qs = rng.normal(size=(4, 500, 1))
+        qs[0] += 5.0  # one chain stuck in a different mode
+        from gab1_shp2_tpu.inference.diagnostics import check_chains
+
+        rep = check_chains(qs)
+        assert not rep["ok"]
+        assert any("rhat" in f for f in rep["failures"])
+
+    def test_frozen_chain_detected(self):
+        """The literal round-4 signature: constant chains, 100%
+        divergences.  R-hat is NaN (zero within-chain variance) and the
+        unique-value guard fires — both mark the run not-ok."""
+        qs = np.tile(np.arange(5.0)[:, None, None], (1, 400, 2))
+        from gab1_shp2_tpu.inference.diagnostics import check_chains
+
+        rep = check_chains(qs, np.ones((5, 400)))
+        assert not rep["ok"]
+        assert any("frozen" in f for f in rep["failures"])
+        assert any("divergence rate" in f for f in rep["failures"])
+
+    def test_ess_detects_autocorrelation(self):
+        """AR(1) chains with rho=0.9 have ESS ~ N*(1-rho)/(1+rho) —
+        the estimator must report far fewer effective samples than
+        draws."""
+        rng = np.random.default_rng(2)
+        m, n, rho = 4, 2000, 0.9
+        x = np.zeros((m, n))
+        eps = rng.normal(size=(m, n)) * math.sqrt(1 - rho**2)
+        for t in range(1, n):
+            x[:, t] = rho * x[:, t - 1] + eps[:, t]
+        from gab1_shp2_tpu.inference.diagnostics import ess
+
+        e = ess(x)
+        expected = m * n * (1 - rho) / (1 + rho)  # ~421
+        assert 0.4 * expected < e < 2.5 * expected, e
 
 
 class TestPosteriorQuantileParity:
