@@ -95,19 +95,24 @@ def ess(x: np.ndarray, rank_normalized: bool = True) -> float:
     acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :n] / n
 
     rho = 1.0 - (W - acov.mean(axis=0)) / var_plus  # combined rho_t
-    # Geyer: sum consecutive pairs while positive, enforce monotone
-    tau = 1.0
-    prev_pair = float("inf")
-    t = 1
-    while t + 1 < n:
-        pair = rho[t] + rho[t + 1]
-        if pair < 0:
+    # Geyer initial monotone positive sequence on EVEN/ODD pairs
+    # Gamma_k = rho[2k] + rho[2k+1] (Gamma_0 includes rho_0), as in
+    # Stan: only this pairing carries the positivity guarantee.
+    # tau = -1 + 2 * sum(pairs).
+    pairs = []
+    k = 0
+    while 2 * k + 1 < n:
+        p = rho[2 * k] + rho[2 * k + 1]
+        if p <= 0:
             break
-        pair = min(pair, prev_pair)  # initial monotone sequence
-        tau += 2.0 * pair
-        prev_pair = pair
-        t += 2
-    return float(m * n / tau)
+        pairs.append(p)
+        k += 1
+    for i in range(1, len(pairs)):  # enforce monotone decreasing
+        pairs[i] = min(pairs[i], pairs[i - 1])
+    tau = max(-1.0 + 2.0 * sum(pairs), 1e-8)
+    # Stan's anti-overconfidence cap: ESS <= m*n*log10(m*n)
+    cap = m * n * math.log10(max(m * n, 10))
+    return float(min(m * n / tau, cap))
 
 
 def check_chains(

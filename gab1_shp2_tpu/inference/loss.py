@@ -76,6 +76,7 @@ def make_observable_fn(
     rtol: float = 1e-4,
     atol: float = 1e-7,
     method: str = "trbdf2",
+    linsolve_dtype=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Returns ``f(log_k4) -> pct_shp2_bound_gab1`` via the stiff solve.
 
@@ -83,7 +84,11 @@ def make_observable_fn(
     the likelihood's solver tolerance ``rtol=1e-4`` as in
     ``turing_model``'s ``rtol`` kwarg).  ``method`` keeps the
     committed-artifact default (trbdf2); ``"rodas4"`` solves the same
-    objective in ~2-3x fewer steps (AD-validated)."""
+    objective in ~2-3x fewer steps (AD-validated).
+    ``linsolve_dtype=jnp.float32`` enables the GSA-validated mixed
+    recipe (f64 state + f32 linear algebra) — on TPU this avoids
+    emulated-f64 factorizations, the lever that makes the exact
+    likelihood NUTS-affordable on-device."""
     system = system or base_system()
     Co = default_co() if Co is None else Co
     base = base or default_params(fit="prior")
@@ -91,7 +96,8 @@ def make_observable_fn(
     def observable(log_k4: jax.Array) -> jax.Array:
         p = set_fitted(base, log_k4)
         sol = solve_stiff(system, Co, p, R=R, dr=dr, tf=tf, Nts=2,
-                          rtol=rtol, atol=atol, method=method)
+                          rtol=rtol, atol=atol, method=method,
+                          linsolve_dtype=linsolve_dtype)
         return pct_shp2_bound_gab1(sol, Co, R)
 
     return observable
@@ -259,13 +265,21 @@ def make_log_posterior(
     return reverse_differentiable(logpost_fwdonly)
 
 
-def reverse_differentiable(f: Callable) -> Callable:
+def reverse_differentiable(f: Callable, *,
+                           bad_value: float = -jnp.inf) -> Callable:
     """Route a scalar function's VJP through forward-mode AD.
 
     The stiff integrator's adaptive ``while_loop``s have no reverse
     rule; with 4 fitted parameters a jacfwd costs 4 extra tangent
     solves, so reverse-mode callers (NUTS's value_and_grad, optax's
-    zoom linesearch) get exact gradients at forward-mode cost."""
+    zoom linesearch) get exact gradients at forward-mode cost.
+
+    ``bad_value`` is the sentinel for points where the value or
+    gradient is non-finite.  The default (-inf) implements Stan
+    rejection semantics for MAXIMIZED log-densities; MINIMIZED
+    objectives (``map_fit.lbfgs_minimize``) must pass ``+inf`` instead
+    — a -inf "loss" would read to a linesearch as a perfect step and
+    suck the iterate into the failure region."""
 
     @jax.custom_vjp
     def g(x):
@@ -274,15 +288,16 @@ def reverse_differentiable(f: Callable) -> Callable:
     def g_fwd(x):
         v = f(x)
         grad = jax.jacfwd(f)(x)
-        # Stan semantics: a point where the density or its gradient is
-        # non-finite is outside the usable support — report -inf (the
-        # sampler treats the proposal as a divergence) with a zero
-        # gradient, never NaN (which would poison warmup adaptation;
+        # A point where the density or its gradient is non-finite is
+        # outside the usable support — report the sentinel (the
+        # sampler treats the proposal as a divergence; a minimizer's
+        # linesearch rejects the trial step) with a zero gradient,
+        # never NaN (which would poison warmup adaptation;
         # near-failure stiff solves can yield finite values with NaN
         # forward tangents).
         bad = jnp.logical_or(~jnp.isfinite(v),
                              ~jnp.all(jnp.isfinite(grad)))
-        v = jnp.where(bad, -jnp.inf, v)
+        v = jnp.where(bad, jnp.asarray(bad_value, v.dtype), v)
         grad = jnp.where(bad, jnp.zeros_like(grad), grad)
         return v, grad
 

@@ -59,7 +59,10 @@ def lbfgs_minimize(f: Callable, x0: jax.Array, *, max_iters: int = 30,
                    lb=None, ub=None) -> Tuple[jax.Array, jax.Array]:
     """Projected LBFGS with zoom linesearch (optax)."""
     opt = optax.lbfgs()
-    f = reverse_differentiable(f)
+    # +inf sentinel: this wraps a MINIMIZED chi2 loss — a failed solve
+    # must look like a rejected trial step to the zoom linesearch, not
+    # a perfect one (ADVICE r4)
+    f = reverse_differentiable(f, bad_value=jnp.inf)
     vg = jax.value_and_grad(f)
 
     def project(x):

@@ -144,16 +144,38 @@ def main(argv=None):
             x_map = jnp.log(jnp.asarray([0.42, 9.5, 0.42, 9.5]))
 
     if args.likelihood == "surrogate":
-        qs_all, div_all, sur = _run_nuts_surrogate(args, Co, x_map, out, tag)
+        qs_all, div_all, ok, sur = _run_nuts_surrogate(args, Co, x_map, out,
+                                                       tag)
+        if not ok:
+            _fail_unhealthy(out, tag, qs_all)
         samples = _reweight_and_save(args, Co, qs_all, sur, out, tag)
     else:
-        qs_all, div_all = _run_nuts_exact(args, Co, x_map, out, tag)
+        qs_all, div_all, ok = _run_nuts_exact(args, Co, x_map, out, tag)
+        if not ok:
+            _fail_unhealthy(out, tag, qs_all)
         samples = np.exp(np.asarray(qs_all).reshape(-1, 4))
         _save_posterior(out, tag, samples, None)
 
     if args.predictive:
         obs = make_observable_fn(Co=Co, dr=args.dr, rtol=args.rtol)
         _predictive_checks(obs, samples, args, out, tag)
+
+
+def _fail_unhealthy(out, tag, qs_all):
+    """Chain-health gate failed: quarantine the draws under a _FAILED
+    suffix and exit nonzero, so downstream consumers (the reweighting
+    stage, the chained HeLa watcher triggering off
+    posterior_quantiles.csv) cannot silently use unhealthy chains
+    (ADVICE r4)."""
+    import sys
+
+    samples = np.exp(np.asarray(qs_all).reshape(-1, 4))
+    common.save_csv(f"{out}/posterior_samples{tag}_FAILED.csv",
+                    list(FIT_NAMES), [list(s) for s in samples])
+    print(f"unhealthy chains quarantined to "
+          f"posterior_samples{tag}_FAILED.csv; see "
+          f"nuts_diagnostics{tag}.csv", file=sys.stderr)
+    sys.exit(1)
 
 
 def _run_chains(lp, x_map, args, checkpoint_cfg, out, tag=""):
@@ -263,7 +285,7 @@ def _run_chains_on(lp, x_map, args, checkpoint_cfg, out, tag=""):
         worst = max(report["rhat"].values())
         print(f"NUTS health: ok (worst rhat {worst:.3f}, "
               f"min ess {min(report['ess'].values()):.0f})")
-    return qs_all, div_all
+    return qs_all, div_all, bool(report["ok"])
 
 
 def _run_nuts_surrogate(args, Co, x_map, out, tag):
@@ -289,8 +311,8 @@ def _run_nuts_surrogate(args, Co, x_map, out, tag):
     cfg = {"surrogate": args.grid_n, "co": tag, "chains": args.chains,
            "warmup": args.warmup, "samples": args.samples,
            "seed": args.seed}
-    qs_all, div_all = _run_chains(lp, x_map, args, cfg, out, tag)
-    return qs_all, div_all, sur
+    qs_all, div_all, ok = _run_chains(lp, x_map, args, cfg, out, tag)
+    return qs_all, div_all, ok, sur
 
 
 def _run_nuts_exact(args, Co, x_map, out, tag):

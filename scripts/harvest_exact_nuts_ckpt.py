@@ -37,10 +37,17 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else \
         "results/inference/exact_nuts_r4"
     sur_dir = sys.argv[2] if len(sys.argv) > 2 else "results/inference"
-    cks = sorted(glob.glob(f"{out}/cache/ckpt_nuts_*.npz"))
+    cks = glob.glob(f"{out}/cache/ckpt_nuts_*.npz")
     if not cks:
         sys.exit(f"no checkpoint under {out}/cache")
-    with np.load(cks[-1], allow_pickle=False) as z:
+    # newest by mtime: sorted-by-name can pick a stale checkpoint from
+    # an older config hash (ADVICE r4)
+    ck = max(cks, key=os.path.getmtime)
+    with np.load(ck, allow_pickle=False) as z:
+        if "qs" not in z.files or int(z.get("done", 0)) == 0:
+            wdone = int(z["wdone"]) if "wdone" in z.files else 0
+            sys.exit(f"{ck}: still in warmup (wdone={wdone}); no draws "
+                     "to harvest yet")
         qs, div, done = z["qs"], z["div"], int(z["done"])
     chains = qs.shape[0]
     samples = np.exp(qs.reshape(-1, len(FIT_NAMES)))
@@ -60,9 +67,11 @@ def main():
         w = csv.writer(f)
         w.writerow(["param"] + [f"q{q}" for q in QS] + ["mean"])
         w.writerows(qrows)
+    total = int(os.environ.get("NUTS_TOTAL_DRAWS", qs.shape[1]))
     with open(f"{out}/run.log", "w") as f:
         f.write(f"harvested mid-run checkpoint: {chains} chains x "
-                f"{done}/{1000} draws, {int(div.sum())} divergences\n"
+                f"{done} draws (target >= {total}), "
+                f"{int(div.sum())} divergences\n"
                 f"(resumable: rerun scripts/run_exact_nuts_r4.sh to "
                 f"continue from {done})\n")
     print(f"wrote {out}/posterior_{{samples,quantiles}}.csv")

@@ -59,6 +59,21 @@ class TestPuncta:
         th = np.asarray(white_tophat(img, 11))
         assert th.max() < 0.2  # the ramp is background, mostly removed
 
+    def test_li_threshold_separates_bimodal(self):
+        from gab1_shp2_tpu.imaging.puncta import li_threshold
+
+        rng = np.random.default_rng(3)
+        img = np.concatenate([
+            rng.normal(0.2, 0.02, 2000),
+            rng.normal(0.8, 0.02, 500)]).reshape(50, 50).astype(np.float32)
+        t = float(li_threshold(img))
+        assert 0.22 < t < 0.78
+        assert abs(int((img > t).sum()) - 500) < 10
+        # bounds clip exactly like CellProfiler's lower/upper bounds
+        # (applied in the normalized [min, max] intensity range)
+        t_lo = float(li_threshold(img, bounds=(0.9, 1.0)))
+        assert t_lo >= img.min() + 0.9 * (img.max() - img.min()) - 1e-3
+
     def test_otsu_separates_bimodal(self):
         from gab1_shp2_tpu.imaging.puncta import otsu_threshold
 
@@ -71,3 +86,103 @@ class TestPuncta:
         # variance is flat there); assert separation, not position
         assert 0.22 < t < 0.78
         assert abs(int((img > t).sum()) - 500) < 10
+
+
+def synthetic_cells(rng, H=160, W=160):
+    """Three disk 'cells' with known per-cell puncta counts.
+
+    Returns (cell_img, pla_img, seeds, per_cell_truth)."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    centers = [(40, 40, 26), (40, 120, 22), (120, 80, 30)]
+    cell = np.full((H, W), 0.05)
+    seeds = np.zeros((H, W), np.int32)
+    truth = [4, 0, 7]
+    pla = np.full((H, W), 0.1)
+    for i, (cy, cx, r) in enumerate(centers):
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 < r**2
+        cell[disk] = 0.8
+        seeds[cy, cx] = i + 1
+        # place puncta on a small grid inside the cell
+        placed = 0
+        for dy in (-10, 0, 10):
+            for dx in (-10, 0, 10):
+                if placed >= truth[i]:
+                    break
+                py, px = cy + dy, cx + dx
+                pla += 1.0 * np.exp(-((yy - py) ** 2 + (xx - px) ** 2)
+                                    / (2 * 1.5**2))
+                placed += 1
+    cell += 0.01 * rng.standard_normal((H, W))
+    pla += 0.005 * rng.standard_normal((H, W))
+    return (cell.astype(np.float32), pla.astype(np.float32), seeds,
+            dict(zip([1, 2, 3], truth)))
+
+
+class TestPerCell:
+    """Per-cell puncta quantification — the pipelines' RelateObjects
+    output (``Children_PLA_primary_objects_Count``), reference
+    ``CellProfiler/GAB1-SHP2_PLA_quantification_40x+_max-zproj.cppipe``
+    modules 14/53/57/64."""
+
+    def test_identify_cells_finds_components(self):
+        from gab1_shp2_tpu.imaging.puncta import identify_cells
+
+        rng = np.random.default_rng(4)
+        cell, _, _, _ = synthetic_cells(rng)
+        labels = np.asarray(identify_cells(cell))
+        ids = np.unique(labels[labels > 0])
+        assert len(ids) == 3
+        # each disk has area ~ pi r^2; check rough sizes survive
+        areas = sorted(int((labels == i).sum()) for i in ids)
+        assert areas[0] > 800 and areas[-1] < 4000
+
+    def test_seeded_propagation_partitions_touching_cells(self):
+        """Two touching disks: connected components would merge them;
+        seed propagation (the module-53 'Propagation' route) splits
+        the mask at the geodesic midline."""
+        from gab1_shp2_tpu.imaging.puncta import (_propagate_labels,
+                                                  identify_cells)
+        import jax.numpy as jnp
+
+        H = W = 96
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        mask = np.zeros((H, W), bool)
+        mask |= (yy - 48) ** 2 + (xx - 34) ** 2 < 20**2
+        mask |= (yy - 48) ** 2 + (xx - 62) ** 2 < 20**2
+        seeds = np.zeros((H, W), np.int32)
+        seeds[48, 34] = 1
+        seeds[48, 62] = 2
+        labels = np.asarray(_propagate_labels(jnp.asarray(seeds),
+                                              jnp.asarray(mask)))
+        assert set(np.unique(labels)) == {0, 1, 2}
+        a1, a2 = (labels == 1).sum(), (labels == 2).sum()
+        # roughly equal split, and the whole mask is assigned
+        assert abs(a1 - a2) < 0.25 * (a1 + a2)
+        assert (labels > 0).sum() == mask.sum()
+
+    def test_per_cell_counts_match_truth(self):
+        from gab1_shp2_tpu.imaging.puncta import count_puncta_per_cell
+
+        rng = np.random.default_rng(5)
+        cell, pla, seeds, truth = synthetic_cells(rng)
+        res = count_puncta_per_cell(pla, cell, feature_size=6.0,
+                                    min_distance=4)
+        assert len(res.counts) == 3
+        got = sorted(res.counts)
+        assert got == sorted(truth.values()), (got, truth)
+
+    def test_seeded_counts_and_unassigned(self):
+        from gab1_shp2_tpu.imaging.puncta import count_puncta_per_cell
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(6)
+        cell, pla, seeds, truth = synthetic_cells(rng)
+        # an extra punctum in the background must land in n_unassigned
+        yy, xx = np.mgrid[0:160, 0:160].astype(np.float64)
+        pla = pla + 1.0 * np.exp(-((yy - 8) ** 2 + (xx - 150) ** 2)
+                                 / (2 * 1.5**2))
+        res = count_puncta_per_cell(pla.astype(np.float32), cell,
+                                    feature_size=6.0, min_distance=4,
+                                    seeds=jnp.asarray(seeds))
+        assert sorted(res.counts) == sorted(truth.values())
+        assert res.n_unassigned >= 1

@@ -269,6 +269,46 @@ class TestDiagnostics:
         expected = m * n * (1 - rho) / (1 + rho)  # ~421
         assert 0.4 * expected < e < 2.5 * expected, e
 
+    def test_ess_capped_for_antithetic(self):
+        """Stan caps ESS at m*n*log10(m*n); a strongly antithetic
+        chain (negative lag-1 autocorrelation) must not report an
+        uncapped superefficient ESS."""
+        rng = np.random.default_rng(3)
+        m, n = 4, 1000
+        x = np.zeros((m, n))
+        eps = rng.normal(size=(m, n))
+        for t in range(1, n):
+            x[:, t] = -0.95 * x[:, t - 1] + eps[:, t]
+        from gab1_shp2_tpu.inference.diagnostics import ess
+
+        assert ess(x, rank_normalized=False) <= m * n * math.log10(m * n)
+
+    def test_committed_posteriors_have_passing_diagnostics(self):
+        """Every committed posterior_samples CSV must ship with a
+        sibling nuts_diagnostics CSV whose health gate passed
+        (``scripts/gen_nuts_diagnostics.py``) — the round-4 post-mortem
+        proved plausible-looking quantiles can hide frozen chains."""
+        import csv
+        import glob
+        import os
+
+        base = os.path.join(os.path.dirname(__file__), "..", "results",
+                            "inference")
+        found = [p for p in glob.glob(f"{base}/**/posterior_samples*.csv",
+                                      recursive=True)
+                 if "_FAILED" not in p]
+        assert found, "no committed posteriors?"
+        for samples_path in found:
+            tag = os.path.basename(samples_path)[
+                len("posterior_samples"):-len(".csv")]
+            diag = os.path.join(os.path.dirname(samples_path),
+                                f"nuts_diagnostics{tag}.csv")
+            assert os.path.exists(diag), f"missing diagnostics for " \
+                f"{samples_path} — run scripts/gen_nuts_diagnostics.py"
+            with open(diag) as f:
+                rows = {r[0]: r[1] for r in csv.reader(f)}
+            assert int(float(rows["_ok"])) == 1, f"{diag}: gate failed"
+
 
 class TestPosteriorQuantileParity:
     """Committed NUTS artifacts vs the reference's Turing quantiles
@@ -350,10 +390,11 @@ class TestExactVsSurrogatePosterior:
         exact_path = os.path.join(base, run_dir,
                                   "posterior_quantiles.csv")
         sur_path = os.path.join(base, "posterior_quantiles.csv")
-        if not (os.path.exists(exact_path) and os.path.exists(sur_path)):
+        samples_path = os.path.join(base, run_dir, "posterior_samples.csv")
+        if not (os.path.exists(exact_path) and os.path.exists(sur_path)
+                and os.path.exists(samples_path)):
             pytest.skip("exact-NUTS validation artifacts not generated")
-        with open(os.path.join(base, run_dir,
-                               "posterior_samples.csv")) as f:
+        with open(samples_path) as f:
             n_draws = sum(1 for _ in f) - 1
         tol = 1.25 if n_draws >= 2500 else 2.0
 
