@@ -94,12 +94,13 @@ def run_ensemble(
     continuation batching, ``ops.batch_stiff.solve_stiff_refill``: one
     device program per ``refill_group`` members with finished lanes
     swapped for queued ones in-flight — no lock-step chunk barrier at
-    all).  Default (``None``) = auto: refill for single-leg sparse-
-    output stiff ensembles (measured +24% on a 2048-member posterior,
+    all).  Default (``None``) = auto: refill for sparse-output stiff
+    ensembles (measured +24% on a 2048-member posterior,
     2.3x on the eFAST corner box vs the sorted scheduler — v5e,
-    scripts/bench_refill.py 2026-08-19), sorted for pulse-chase (refill
-    is single-leg only), ``jac_reuse`` (collective refresh votes need
-    fixed chunk membership), and dense-output runs (Nts >= 50, where
+    scripts/bench_refill.py 2026-08-19; two-leg pulse-chase ensembles
+    are refill-capable via the per-lane leg switch, VERDICT-r4 item 3),
+    sorted for ``jac_reuse`` (collective refresh votes need
+    fixed chunk membership) and dense-output runs (Nts >= 50, where
     the ~60 s TPU watchdog caps the queue at chunk size anyway).  With
     ``device_axis`` every device runs its own independent refill queue
     over its shard.  Per-member results are controller-identical
@@ -143,20 +144,24 @@ def run_ensemble(
                int(max_steps), jac_reuse, extract)
 
         if scheduler is None:
-            scheduler = ("refill" if t_prechase is None and not jac_reuse
-                         and Nts < 50 else "sorted")
+            # two-leg (t_prechase) ensembles are refill-capable since
+            # the per-lane leg switch (VERDICT-r4 item 3) but are
+            # usually dense-output (Nts>=50) workloads, which keep the
+            # sorted scheduler (see the Nts note above)
+            scheduler = ("refill" if not jac_reuse and Nts < 50
+                         else "sorted")
         if scheduler == "refill":
-            if t_prechase is not None:
-                warnings.warn(
-                    "scheduler='refill' is single-leg; pulse-chase ensembles "
-                    "fall back to the cost-sorted scheduler", stacklevel=2)
-            else:
-                return _run_stiff_refill(
-                    system, Co, pb, N, extract, chunk, refill_group,
-                    R=R, dr=dr, tf=tf, Nts=Nts, rtol=rtol, atol=atol,
-                    method=method, linsolve_dtype=linsolve_dtype,
-                    max_steps=max_steps, device_axis=device_axis,
-                    mesh=mesh)
+            if jac_reuse:
+                raise ValueError(
+                    "scheduler='refill' is incompatible with jac_reuse "
+                    "(collective refresh votes need fixed chunk "
+                    "membership); use scheduler='sorted'")
+            return _run_stiff_refill(
+                system, Co, pb, N, extract, chunk, refill_group,
+                R=R, dr=dr, tf=tf, Nts=Nts, rtol=rtol, atol=atol,
+                method=method, linsolve_dtype=linsolve_dtype,
+                max_steps=max_steps, device_axis=device_axis,
+                mesh=mesh, t_prechase=t_prechase)
         elif scheduler != "sorted":
             raise ValueError(f"unknown scheduler {scheduler!r}")
         if device_axis is not None:
@@ -220,7 +225,8 @@ def run_ensemble(
 
 def _run_stiff_refill(system, Co, pb, N, extract, chunk, refill_group, *,
                       R, dr, tf, Nts, rtol, atol, method, linsolve_dtype,
-                      max_steps, device_axis=None, mesh=None):
+                      max_steps, device_axis=None, mesh=None,
+                      t_prechase=None):
     """Dispatch the stiff ensemble through the lane-refill scheduler.
 
     Each dispatch is ONE device program over ``refill_group`` members
@@ -247,7 +253,8 @@ def _run_stiff_refill(system, Co, pb, N, extract, chunk, refill_group, *,
         return solve_stiff_refill(
             system, Co_g, p_g, extract=extract, R=R, dr=dr, tf=tf,
             Nts=Nts, rtol=rtol, atol=atol, max_steps=max_steps,
-            method=method, linsolve_dtype=linsolve_dtype, lanes=lanes)
+            method=method, linsolve_dtype=linsolve_dtype, lanes=lanes,
+            t_prechase=t_prechase)
 
     co_shared = jnp.asarray(Co).ndim == 1
     if device_axis is not None:

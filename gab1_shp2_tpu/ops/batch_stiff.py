@@ -802,10 +802,11 @@ def _solve_batch_impl(system, Co, params, legs, R, dr, Nts, rtol, atol,
 @partial(jax.jit, static_argnames=("system", "R", "dr", "tf", "Nts",
                                    "max_steps", "method", "linsolve_dtype",
                                    "rhs_mixed", "lanes", "harvest_every",
-                                   "extract"))
+                                   "extract", "t_prechase"))
 def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
                        max_steps, h0, method, linsolve_dtype, lanes,
-                       harvest_every, extract, rhs_mixed=False):
+                       harvest_every, extract, rhs_mixed=False,
+                       t_prechase=None, params2=None):
     """Continuation-batched stiff ensemble solve with lane refill.
 
     The chunked scheduler (:func:`_solve_batch_impl` driven by the
@@ -830,10 +831,14 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
     are frozen): step counts match exactly and values agree to float
     roundoff, so the two schedulers are interchangeable on results.
 
-    Single-leg solves only (``t_prechase`` pulse-chase legs change
-    params mid-flight for ALL lanes at once, which has no meaning when
-    lanes start at staggered wall-clock times — the engine falls back
-    to the chunked scheduler there).
+    Two-leg pulse-chase solves (``t_prechase``) switch params
+    PER-LANE: each lane's effective params and leg-end time follow its
+    own ``t`` (``t < t_prechase`` -> leg-1 params, end ``t_prechase``;
+    after -> ``params2``, end ``tf``), so staggered refilled lanes each
+    cross the boundary on their own clock.  Step sizes truncate to the
+    lane's current leg end exactly as the chunked leg integrator's
+    per-leg ``while_loop`` does, so trajectories remain
+    controller-identical (VERDICT-r4 item 3).
     """
     dtype = Co_all.dtype
     N = params.k.shape[0]
@@ -853,6 +858,8 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
         midx = jnp.clip(member, 0, N - 1)
         Co_l = Co_all[midx]                                  # (B, 5)
         p_l = Params(D=params.D[midx], k=params.k[midx])
+        p2_l = (None if params2 is None else
+                Params(D=params2.D[midx], k=params2.k[midx]))
         y0 = _lanes_y0(Co_l.T, M, dtype)
         out_C = jnp.full((Nts + 1, N_CYTO, Nr + 1, B), jnp.nan, dtype)
         out_m = jnp.full((Nts + 1, N_MEMB, B), jnp.nan, dtype)
@@ -864,7 +871,7 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
               jnp.ones((B,), jnp.int32), out_C, out_m,
               jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
               jnp.zeros((B,), bool))
-        return live, Co_l, p_l, st
+        return live, Co_l, p_l, p2_l, st
 
     def lanes_sol(out_C, out_m, Co_l):
         """The batched Solution view of the lane buffers (vmapped-
@@ -881,7 +888,7 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
         return jax.vmap(extract)(sol), sol
 
     member0 = jnp.arange(B, dtype=jnp.int32)
-    live0, Co_l0, p_l0, st0 = fresh(member0)
+    live0, Co_l0, p_l0, p2_l0, st0 = fresh(member0)
     vals_shape = jax.eval_shape(
         lambda oc, om, col: extract_lanes(oc, om, col)[0],
         st0[4], st0[5], Co_l0)
@@ -898,11 +905,23 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
                 jnp.logical_and(~failed, nacc + nrej < max_steps)))
 
     def body(c):
-        (it, n_done, next_ptr, member, live, Co_l, p_l, st,
+        (it, n_done, next_ptr, member, live, Co_l, p_l, p2_l, st,
          out_all, ok_all, steps_all) = c
         active = lane_pending(live, st)
-        f = ctx.make_f(p_l)
-        st, _ = ctx.step(f, p_l, tf, active, st)
+        if t_prechase is None:
+            p_eff, t1 = p_l, tf
+        else:
+            # per-lane leg switch: a lane that reached its own
+            # t_prechase steps with the chase params toward tf; before
+            # that it steps with the pulse params, h truncated to
+            # t_prechase (same landing the chunked per-leg while_loops
+            # produce, so trajectories stay controller-identical)
+            in2 = st[0] >= t_prechase - ctx.eps
+            p_eff = Params(D=jnp.where(in2[:, None], p2_l.D, p_l.D),
+                           k=jnp.where(in2[:, None], p2_l.k, p_l.k))
+            t1 = jnp.where(in2, tf, t_prechase).astype(dtype)
+        f = ctx.make_f(p_eff)
+        st, _ = ctx.step(f, p_eff, t1, active, st)
         still = lane_pending(live, st)
         finished = jnp.logical_and(live, ~still)
         do_h = jnp.logical_and(
@@ -911,7 +930,7 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
                            ~jnp.any(still)))
 
         def harvest(op):
-            (n_done, next_ptr, member, live, Co_l, p_l, st,
+            (n_done, next_ptr, member, live, Co_l, p_l, p2_l, st,
              out_all, ok_all, steps_all) = op
             t, h, y, nts, out_C, out_m, nacc, nrej, failed = st
             vals, sol = extract_lanes(out_C, out_m, Co_l)
@@ -932,20 +951,23 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
             ranks = jnp.cumsum(finished.astype(jnp.int32),
                                dtype=jnp.int32) - 1
             new_member = jnp.where(finished, next_ptr + ranks, member)
-            live2, Co_f, p_f, st_f = fresh(new_member)
+            live2, Co_f, p_f, p2_f, st_f = fresh(new_member)
             sel = finished
             sel_r = sel[:, None]
             Co_l = jnp.where(sel_r, Co_f, Co_l)
             p_l = Params(D=jnp.where(sel_r, p_f.D, p_l.D),
                          k=jnp.where(sel_r, p_f.k, p_l.k))
+            if p2_l is not None:
+                p2_l = Params(D=jnp.where(sel_r, p2_f.D, p2_l.D),
+                              k=jnp.where(sel_r, p2_f.k, p2_l.k))
             st = tuple(
                 jnp.where(sel.reshape((1,) * (a.ndim - 1) + (B,)), fa, a)
                 for fa, a in zip(st_f, st))
             live = jnp.where(sel, live2, live)
             return (n_done + nf, next_ptr + nf, new_member, live,
-                    Co_l, p_l, st, out_all, ok_all, steps_all)
+                    Co_l, p_l, p2_l, st, out_all, ok_all, steps_all)
 
-        op = (n_done, next_ptr, member, live, Co_l, p_l, st,
+        op = (n_done, next_ptr, member, live, Co_l, p_l, p2_l, st,
               out_all, ok_all, steps_all)
         op = jax.lax.cond(do_h, harvest, lambda o: o, op)
         return (it + 1,) + op
@@ -954,9 +976,9 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
         return c[1] < N
 
     carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(B), member0, live0,
-              Co_l0, p_l0, st0, out_all0, ok_all0, steps_all0)
+              Co_l0, p_l0, p2_l0, st0, out_all0, ok_all0, steps_all0)
     out = jax.lax.while_loop(cond, body, carry0)
-    return out[8], out[9], out[10]
+    return out[-3], out[-2], out[-1]
 
 
 def solve_stiff_refill(
@@ -978,8 +1000,16 @@ def solve_stiff_refill(
     rhs_mixed: Optional[bool] = None,
     lanes: int = 256,
     harvest_every: int = 4,
+    t_prechase: Optional[float] = None,
 ):
     """Lane-refill stiff ensemble solve (see :func:`_solve_refill_impl`).
+
+    ``t_prechase`` enables the two-leg pulse-chase protocol (gefitinib
+    wash-in at ``t_prechase``: ``kp -> 0``, matching
+    ``solve_stiff_batch``'s legs; reference
+    ``gefitinib_pulse_chase.jl:104-106``) with PER-LANE leg switching —
+    staggered refilled lanes each cross the boundary on their own
+    clock, so pulse-chase ensembles no longer pay the chunk barrier.
 
     Returns ``(out, ok, steps)``: the per-member extracted pytree with
     leading (N,) axis, a success mask, and per-member step counts.
@@ -1002,11 +1032,16 @@ def solve_stiff_refill(
         rhs_mixed = False
     if rhs_mixed and Co.dtype == jnp.float32:
         raise ValueError("rhs_mixed requires a float64 state")
+    params2 = None
+    if t_prechase is not None:
+        params2 = params.replace(kp=0.0)
+        t_prechase = float(t_prechase)
     return _solve_refill_impl(system, Co, params, float(R), float(dr),
                               float(tf), int(Nts), rtol, atol,
                               int(max_steps), float(h0), method, ls,
                               int(lanes), int(harvest_every), extract,
-                              rhs_mixed=bool(rhs_mixed))
+                              rhs_mixed=bool(rhs_mixed),
+                              t_prechase=t_prechase, params2=params2)
 
 
 def solve_stiff_batch(

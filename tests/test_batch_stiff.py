@@ -376,6 +376,35 @@ class TestRefillScheduler:
                                    rtol=1e-9, atol=1e-9)
         assert np.asarray(ok).all()
 
+    def test_two_leg_pulse_chase_matches_chunked(self):
+        """Per-lane leg switching (VERDICT-r4 item 3): a two-leg
+        pulse-chase refill ensemble must be controller-identical to the
+        chunked two-leg integrator even though refilled lanes cross
+        t_prechase at staggered wall-clock iterations."""
+        from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_refill
+
+        system = g.base_system()
+        Co = g.default_co()
+        N = 9
+        pb = _param_batch(N, spread=0.3, seed=11)
+        kw = dict(dr=0.5, tf=2.0, Nts=4, rtol=1e-5, atol=1e-8,
+                  method="rodas4", t_prechase=1.0)
+        solb, statb = solve_stiff_batch(system, Co, pb, return_stats=True,
+                                        **kw)
+        out, ok, steps = solve_stiff_refill(system, Co, pb, lanes=3,
+                                            harvest_every=3, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(steps),
+            np.asarray(statb.n_accepted + statb.n_rejected))
+        np.testing.assert_allclose(np.asarray(out.C), np.asarray(solb.C),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out.m), np.asarray(solb.m),
+                                   rtol=1e-9, atol=1e-9)
+        assert np.asarray(ok).all()
+        # the chase leg actually fired: pEGFR decays after t_prechase
+        pE = np.asarray(solb.pE).mean(axis=0)  # (Nts+1,)
+        assert pE[-1] < 0.5 * pE[2]  # Nts=4: slot 2 = t_prechase
+
     def test_reducer_extract_and_small_queue(self):
         """N < lanes (dead lanes from the start) + a reducing extract."""
         from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_refill

@@ -101,14 +101,23 @@ class TestRunEnsemble:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12)
 
-    def test_refill_pulse_chase_falls_back(self):
-        batch = _small_batch(n=4)
+    def test_refill_pulse_chase_matches_sorted(self):
+        """Two-leg pulse-chase through the engine's refill scheduler
+        (per-lane leg switching, VERDICT-r4 item 3) must match the
+        chunked scheduler's results."""
+        batch = _small_batch(n=6, sigma=0.2, seed=9)
         kw = dict(solver="stiff", extract=_pg1s_extract, rtol=1e-4,
-                  atol=1e-7, dr=0.5, tf=0.5, Nts=2, t_prechase=0.25)
-        with pytest.warns(UserWarning, match="single-leg"):
-            out, ok = run_ensemble(base_system(), default_co(), batch,
-                                   scheduler="refill", **kw)
-        assert out.shape[0] == 4 and bool(ok.all())
+                  atol=1e-7, dr=0.5, tf=0.5, Nts=2, t_prechase=0.25,
+                  method="rodas4")
+        a, oka = run_ensemble(base_system(), default_co(), batch,
+                              chunk=3, scheduler="sorted", **kw)
+        b, okb = run_ensemble(base_system(), default_co(), batch,
+                              chunk=3, scheduler="refill", refill_group=6,
+                              **kw)
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+        assert bool(okb.all())
 
     def test_explicit_solver_path(self):
         batch = _small_batch(n=4)
