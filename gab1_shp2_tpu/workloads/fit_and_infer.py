@@ -86,6 +86,25 @@ def main(argv=None):
                     help="run prior/posterior predictive checks with "
                          "this many draws each "
                          "(param_fitting+inference_finitediff.jl:491-527)")
+    ap.add_argument("--nuts-device", choices=("cpu", "tpu"), default="cpu",
+                    help="where the NUTS chain loop runs.  cpu (default):"
+                         " the surrogate lp is op-latency bound and a"
+                         " 100-draw block is seconds on host.  tpu: for"
+                         " the EXACT likelihood — one draw per dispatch"
+                         " (watchdog-safe blocks), each leapfrog leaf a"
+                         " batch-(chains) stiff solve + 4-tangent jacfwd"
+                         " on the device")
+    ap.add_argument("--lp-f32", action="store_true",
+                    help="exact likelihood in float32 state + float32"
+                         " linear algebra (the validated headline recipe:"
+                         " solution error ~1.6e-5, far below the rtol"
+                         " 1e-4 solver tolerance).  The gradient field"
+                         " stays deterministic, so leapfrog remains"
+                         " reversible/volume-preserving and NUTS remains"
+                         " exact — only efficiency, not correctness,"
+                         " depends on gradient accuracy.  ~10x leaf"
+                         " throughput on TPU (emulated-f64 op latency"
+                         " dominates otherwise)")
     args = ap.parse_args(argv)
     out = args.outdir
     os.makedirs(out, exist_ok=True)
@@ -181,13 +200,18 @@ def _fail_unhealthy(out, tag, qs_all):
 def _run_chains(lp, x_map, args, checkpoint_cfg, out, tag=""):
     """Warmup + block-sampled vmapped chains with checkpoint/resume.
 
-    Pinned to the host CPU device: the sampling loop is op-latency
-    bound (a few-KFLOP surrogate evaluation per leapfrog inside a
+    Default device is the host CPU: the surrogate sampling loop is
+    op-latency bound (a few-KFLOP evaluation per leapfrog inside a
     while_loop), so on the TPU a 100-sample block is one multi-minute
     single execution — past the axon runtime's ~60 s watchdog — while
-    on CPU it is seconds.  The surrogate build and the exact
-    reweighting pass (batched PDE solves) stay on the TPU.
+    on CPU it is seconds.  ``--nuts-device tpu`` keeps the chain loop
+    on the accelerator with ONE-DRAW dispatches (each a <=2^max_depth
+    leapfrog tree; a draw stays well under the watchdog) — the right
+    shape for the exact PDE likelihood, whose leaf is a
+    batch-(chains) stiff solve + 4-tangent jacfwd.
     """
+    if getattr(args, "nuts_device", "cpu") == "tpu":
+        return _run_chains_on(lp, x_map, args, checkpoint_cfg, out, tag)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:  # CPU-only test envs: already there
@@ -198,11 +222,14 @@ def _run_chains(lp, x_map, args, checkpoint_cfg, out, tag=""):
 
 def _run_chains_on(lp, x_map, args, checkpoint_cfg, out, tag=""):
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.chains)
-    block = max(1, min(100, args.samples))
+    on_tpu = getattr(args, "nuts_device", "cpu") == "tpu"
+    # one draw per dispatch on TPU: the ~60 s runtime watchdog bounds a
+    # single execution, and an exact-likelihood draw is seconds
+    block = 1 if on_tpu else max(1, min(100, args.samples))
     # warmup is checkpointed in blocks too: on the exact likelihood a
     # 200-step adaptation phase is itself multi-hour, and losing it to
     # a machine recycle restarts the whole run (round-4 lesson)
-    wblock = max(1, min(20, args.warmup))
+    wblock = 1 if on_tpu else max(1, min(20, args.warmup))
     ck = Checkpointer("nuts", checkpoint_cfg, cache_dir=f"{out}/cache",
                       every=60.0)
     saved = ck.restore()
@@ -320,12 +347,22 @@ def _run_nuts_exact(args, Co, x_map, out, tag):
     # trbdf2 default (AD-validated; see make_observable_fn) — on the
     # single-core CPU pin this is the difference between a reference-
     # scale 5x1000 validation run fitting in one round and not
-    obs = make_observable_fn(Co=Co, dr=args.dr, rtol=args.rtol,
-                             method="rodas4")
-    lp = make_log_posterior(obs)
     cfg = {"dr": args.dr, "rtol": args.rtol, "co": tag, "method": "rodas4",
            "chains": args.chains, "warmup": args.warmup,
            "samples": args.samples, "seed": args.seed}
+    if args.lp_f32:
+        # f32 state + f32 linear algebra (see the --lp-f32 help text
+        # for the exactness argument); a distinct checkpoint config
+        Co = jnp.asarray(Co, jnp.float32)
+        x_map = jnp.asarray(x_map, jnp.float32)
+        cfg["lp_dtype"] = "f32"
+        obs = make_observable_fn(Co=Co, dr=args.dr, rtol=args.rtol,
+                                 method="rodas4",
+                                 linsolve_dtype=jnp.float32)
+    else:
+        obs = make_observable_fn(Co=Co, dr=args.dr, rtol=args.rtol,
+                                 method="rodas4")
+    lp = make_log_posterior(obs)
     return _run_chains(lp, x_map, args, cfg, out, tag)
 
 
