@@ -171,6 +171,48 @@ class TestPerCell:
         got = sorted(res.counts)
         assert got == sorted(truth.values()), (got, truth)
 
+    def test_defaults_match_shipped_pipeline_parameters(self):
+        """The per-cell API defaults must equal the shipped pipeline's
+        parameterization, parsed from the .cppipe itself (skipped when
+        the reference tree is absent)."""
+        import inspect
+        import os
+        import re
+
+        cppipe = ("/root/reference/CellProfiler/"
+                  "GAB1-SHP2_PLA_quantification_40x+_max-zproj.cppipe")
+        if not os.path.exists(cppipe):
+            pytest.skip("reference CellProfiler pipelines not available")
+        text = open(cppipe, encoding="utf-8", errors="replace").read()
+        # module 57 (PLA_primary_objects): MCE threshold, correction
+        # 0.2, lower bound 0.2; module 14 (Cells_mvHRas): correction
+        # 1.08, smoothing filter 10
+        pla = text.split("Name the primary objects to be identified"
+                         ":PLA_primary_objects\n")[1]
+        assert "Thresholding method:Minimum Cross-Entropy" in pla
+        corr = float(re.search(r"Threshold correction factor:([\d.]+)",
+                               pla).group(1))
+        lo = float(re.search(r"Lower and upper bounds on threshold:"
+                             r"([\d.]+)", pla).group(1))
+        cells = text.split("Name the primary objects to be identified"
+                           ":Cells_mvHRas\n")[1]
+        cell_corr = float(re.search(r"Threshold correction factor:([\d.]+)",
+                                    cells).group(1))
+        smooth = float(re.search(r"Size of smoothing filter:([\d.]+)",
+                                 cells).group(1))
+
+        from gab1_shp2_tpu.imaging.puncta import (count_puncta_per_cell,
+                                                  identify_cells)
+
+        sig = inspect.signature(count_puncta_per_cell)
+        assert sig.parameters["threshold_correction"].default == corr
+        assert sig.parameters["threshold_bounds"].default[0] == lo
+        assert sig.parameters["cell_threshold_correction"].default \
+            == cell_corr
+        csig = inspect.signature(identify_cells)
+        assert csig.parameters["smoothing_scale"].default == smooth
+        assert csig.parameters["threshold_correction"].default == cell_corr
+
     def test_seeded_counts_and_unassigned(self):
         from gab1_shp2_tpu.imaging.puncta import count_puncta_per_cell
         import jax.numpy as jnp
