@@ -286,8 +286,15 @@ def reverse_differentiable(f: Callable, *,
         return f(x)
 
     def g_fwd(x):
-        v = f(x)
-        grad = jax.jacfwd(f)(x)
+        # fused value+jacfwd: one vmapped jvp over the 4 basis tangents
+        # computes the primal ONCE (the while_loop batching keeps the
+        # tangent-independent primal carry unbatched) instead of the
+        # separate f(x) + jacfwd(f)(x) pair — for the exact PDE
+        # likelihood that removes a full extra stiff solve per
+        # gradient evaluation
+        basis = jnp.eye(x.shape[-1], dtype=x.dtype)
+        v, grad = jax.vmap(lambda t: jax.jvp(f, (x,), (t,)),
+                           out_axes=(None, 0))(basis)
         # A point where the density or its gradient is non-finite is
         # outside the usable support — report the sentinel (the
         # sampler treats the proposal as a divergence; a minimizer's

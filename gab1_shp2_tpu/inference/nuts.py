@@ -61,7 +61,7 @@ def init(logdensity: Callable, q0: jax.Array, rng: jax.Array,
     return NUTSState(
         q=q0, logp=logp, grad=grad, rng=rng, step_size=eps,
         inv_mass=jnp.ones((d,), q0.dtype),
-        log_eps_bar=jnp.log(eps), h_bar=jnp.zeros(()),
+        log_eps_bar=jnp.log(eps), h_bar=jnp.zeros((), q0.dtype),
         mu=jnp.log(10.0 * eps),
         w_count=jnp.zeros((), jnp.int32), w_mean=jnp.zeros((d,), q0.dtype),
         w_m2=jnp.zeros((d,), q0.dtype),
@@ -125,10 +125,11 @@ def _nuts_step(logdensity: Callable, state: NUTSState, *,
         q_minus=state.q, p_minus=p0, g_minus=state.grad,
         q_plus=state.q, p_plus=p0, g_plus=state.grad,
         q_prop=state.q, logp_prop=state.logp, g_prop=state.grad,
-        log_sum_w=jnp.zeros(()), sum_p=p0,
+        log_sum_w=jnp.zeros((), state.q.dtype), sum_p=p0,
         depth=jnp.zeros((), jnp.int32), turning=jnp.array(False),
-        diverged=jnp.array(False), sum_accept=jnp.zeros(()),
-        n_accept=jnp.zeros(()), rng=key_tree,
+        diverged=jnp.array(False),
+        sum_accept=jnp.zeros((), state.q.dtype),
+        n_accept=jnp.zeros((), state.q.dtype), rng=key_tree,
     )
 
     def is_turning(q_m, p_m, q_p, p_p):
@@ -179,11 +180,13 @@ def _nuts_step(logdensity: Callable, state: NUTSState, *,
             i=jnp.zeros((), jnp.int32), q=q0_, p=p0_, g=g0_,
             q_prop=c.q_prop, logp_prop=jnp.array(-jnp.inf, c.logp_prop.dtype),
             g_prop=c.g_prop,
-            log_sum_w_sub=jnp.array(-jnp.inf), sum_p_sub=jnp.zeros_like(p0),
+            log_sum_w_sub=jnp.array(-jnp.inf, state.q.dtype),
+            sum_p_sub=jnp.zeros_like(p0),
             stack_q=empty_like(state.q), stack_p=empty_like(p0),
             stack_sum_p=empty_like(p0),
             turning=jnp.array(False), diverged=jnp.array(False),
-            sum_accept=jnp.zeros(()), n_accept=jnp.zeros(()), rng=key_acc,
+            sum_accept=jnp.zeros((), state.q.dtype),
+            n_accept=jnp.zeros((), state.q.dtype), rng=key_acc,
         )
 
         def leaf_cond(s: _S):
