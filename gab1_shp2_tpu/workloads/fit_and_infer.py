@@ -234,13 +234,24 @@ def _run_chains_on(lp, x_map, args, checkpoint_cfg, out, tag=""):
                       every=60.0)
     saved = ck.restore()
 
-    vwarm = jax.vmap(
-        lambda s, t0, nb: warmup_block(
-            lp, s, t0, num_block=nb, num_warmup=args.warmup,
-            max_depth=args.max_depth, target_accept=0.65),
-        in_axes=(0, None, None))
-    vsample = jax.vmap(lambda s: sample(lp, s, num_samples=block,
-                                        max_depth=args.max_depth))
+    if on_tpu:
+        # host-driven trees: one dispatch per trajectory doubling, so
+        # no single execution exceeds the ~60 s runtime watchdog even
+        # at max-depth trees (nuts.make_host_tree_sampler); bitwise
+        # identical draws to the compiled path (same rng stream)
+        from gab1_shp2_tpu.inference.nuts import make_host_tree_sampler
+
+        host_draw = make_host_tree_sampler(
+            lp, max_depth=args.max_depth, num_warmup=args.warmup,
+            target_accept=0.65)
+    else:
+        vwarm = jax.vmap(
+            lambda s, t0, nb: warmup_block(
+                lp, s, t0, num_block=nb, num_warmup=args.warmup,
+                max_depth=args.max_depth, target_accept=0.65),
+            in_axes=(0, None, None))
+        vsample = jax.vmap(lambda s: sample(lp, s, num_samples=block,
+                                            max_depth=args.max_depth))
 
     if saved is None:
         state = jax.vmap(lambda k: nuts_init(
@@ -266,23 +277,42 @@ def _run_chains_on(lp, x_map, args, checkpoint_cfg, out, tag=""):
                            "div": np.concatenate(div_blocks, axis=1)}
                           if qs_blocks else {})})
 
+    import time as _time
+
+    t_last = _time.time()
     while wdone < args.warmup:
-        nb = min(wblock, args.warmup - wdone)
-        state = vwarm(state, wdone, nb)
-        wdone += nb
+        if on_tpu:
+            state, _ = host_draw(state, warm_t=wdone)
+            wdone += 1
+        else:
+            nb = min(wblock, args.warmup - wdone)
+            state = vwarm(state, wdone, nb)
+            wdone += nb
         if wdone >= args.warmup:
             # idempotent: safe if the process dies and re-applies it
             state = warmup_finalize(state)
         save_ckpt()
-        print(f"  warmup {wdone}/{args.warmup}", flush=True)
+        if not on_tpu or wdone % 10 == 0 or wdone >= args.warmup:
+            print(f"  warmup {wdone}/{args.warmup} "
+                  f"({_time.time() - t_last:.1f} s)", flush=True)
+            t_last = _time.time()
 
     while done < args.samples:
-        state, qs, info = vsample(state)
-        qs_blocks.append(np.asarray(qs))
-        div_blocks.append(np.asarray(info["diverged"]))
-        done += block
+        if on_tpu:
+            state, info = host_draw(state)
+            qs_blocks.append(np.asarray(state.q)[:, None, :])
+            div_blocks.append(np.asarray(info.diverged)[:, None])
+            done += 1
+        else:
+            state, qs, info = vsample(state)
+            qs_blocks.append(np.asarray(qs))
+            div_blocks.append(np.asarray(info["diverged"]))
+            done += block
         save_ckpt()
-        print(f"  {done}/{args.samples} samples", flush=True)
+        if not on_tpu or done % 10 == 0 or done >= args.samples:
+            print(f"  {done}/{args.samples} samples "
+                  f"({_time.time() - t_last:.1f} s)", flush=True)
+            t_last = _time.time()
     ck.clear()
 
     qs_all = np.concatenate(qs_blocks, axis=1)[:, : args.samples]
