@@ -250,15 +250,22 @@ def make_log_posterior(
     support_hi = qmax + 1.0
 
     def logpost_fwdonly(q: jax.Array) -> jax.Array:
-        lp = jnp.sum(_normal_logpdf(q, prior_mu, prior_sigma))
+        # the density follows q's dtype (f32 chains must stay f32
+        # end-to-end: a single f64 prior constant would promote the
+        # NUTS tree carries and break the while_loop carry types)
+        mu = prior_mu.astype(q.dtype)
+        sigma = prior_sigma.astype(q.dtype)
+        lp = jnp.sum(_normal_logpdf(q, mu, sigma))
         # steep smooth barrier for the upper truncation
-        over = jnp.maximum(q - qmax, 0.0)
+        over = jnp.maximum(q - qmax.astype(q.dtype), 0.0)
         lp = lp - 1e4 * jnp.sum(over**2)
-        q_s = jnp.clip(q, support_lo, support_hi)
+        q_s = jnp.clip(q, support_lo.astype(q.dtype),
+                       support_hi.astype(q.dtype))
         ll = datum_loglik(observable(q_s), datum=datum,
                           datum_sigma=datum_sigma)
-        inside = jnp.all((q >= support_lo) & (q <= support_hi))
-        return jnp.where(inside, lp + ll, -jnp.inf)
+        inside = jnp.all((q >= support_lo.astype(q.dtype))
+                         & (q <= support_hi.astype(q.dtype)))
+        return jnp.where(inside, (lp + ll).astype(q.dtype), -jnp.inf)
 
     if not wrap_vjp:
         return logpost_fwdonly
