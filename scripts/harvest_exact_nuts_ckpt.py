@@ -23,11 +23,24 @@ the NUTS process owns the CPU and during TPU-tunnel outages.
 
 import csv
 import glob
+import importlib.util
 import os
 import subprocess
 import sys
 
 import numpy as np
+
+
+def _load_diagnostics():
+    """Load inference/diagnostics.py by file path (pure NumPy) without
+    importing the package — ``gab1_shp2_tpu/__init__`` pulls in jax,
+    and this script must stay safe to run during TPU-tunnel outages."""
+    path = os.path.join(os.path.dirname(__file__), "..", "gab1_shp2_tpu",
+                        "inference", "diagnostics.py")
+    spec = importlib.util.spec_from_file_location("_diag", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 FIT_NAMES = ("kG1p", "kG1dp", "kSa", "kSi")  # inference/loss.py:50
 QS = (0.025, 0.25, 0.5, 0.75, 0.975)         # fit_and_infer.py:54
@@ -75,6 +88,23 @@ def main():
                 f"(resumable: rerun scripts/run_exact_nuts_r4.sh to "
                 f"continue from {done})\n")
     print(f"wrote {out}/posterior_{{samples,quantiles}}.csv")
+
+    # Health gate over the partial draws, with the REAL per-draw
+    # divergence flags (the committed-CSV retrofit in
+    # scripts/gen_nuts_diagnostics.py can only report NaN there).
+    # Same CSV format as fit_and_infer's post-run writer.
+    diag = _load_diagnostics()
+    report = diag.check_chains(qs, div, names=list(FIT_NAMES))
+    with open(f"{out}/nuts_diagnostics.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["param", "rhat", "ess"])
+        w.writerows([[n, report["rhat"][n], report["ess"][n]]
+                     for n in FIT_NAMES])
+        w.writerow(["_divergence_rate", report["divergence_rate"], ""])
+        w.writerow(["_ok", int(report["ok"]), ""])
+    status = "ok" if report["ok"] else "FAILED: " + "; ".join(
+        report["failures"])
+    print(f"health gate ({chains} chains x {done}): {status}")
 
     if os.path.exists(f"{sur_dir}/posterior_quantiles.csv"):
         subprocess.run([sys.executable,

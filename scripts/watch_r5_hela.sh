@@ -4,7 +4,7 @@
 # log).  The two runs then interleave ~1 s dispatches on the chip —
 # each sees ~half throughput, but compile streams never contend.
 BASE_LOG=/tmp/exact_nuts_r5.log
-while ! grep -q "warmup 10/" "$BASE_LOG" 2>/dev/null; do
+while ! grep -qE "warmup [0-9]+/" "$BASE_LOG" 2>/dev/null; do
   sleep 60
 done
 echo "base run is stepping; launching HeLa ($(date))"
