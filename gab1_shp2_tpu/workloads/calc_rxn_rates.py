@@ -34,6 +34,7 @@ def main(argv=None):
         system, Co, jnp.asarray(ens), solver=args.solver, dr=args.dr,
         tf=args.tf, Nts=args.nts, rtol=args.rtol, chunk=args.chunk,
         linsolve_dtype=common.linsolve_dtype(args),
+        scheduler=common.scheduler(args),
         extract=lambda s: s)
     ok = np.asarray(ok)
     rates = jax.vmap(lambda s, p: reaction_rate_summaries(s, p, Co))(

@@ -66,6 +66,11 @@ def default_argparser(desc: str) -> argparse.ArgumentParser:
                          "scripts/probe_gsa_mixed.py — and avoids "
                          "emulated-f64 linear algebra on TPU; 'none' "
                          "restores full-f64)")
+    ap.add_argument("--scheduler", choices=("auto", "sorted", "refill"),
+                    default="auto",
+                    help="stiff ensemble dispatch strategy (auto = the "
+                         "engine's measured heuristic; see "
+                         "ensemble/engine.py run_ensemble docstring)")
     ap.add_argument("--outdir", default="images")
     ap.add_argument("--seed", type=int, default=0)
     return ap
@@ -75,6 +80,12 @@ def linsolve_dtype(args):
     """Map the --linsolve flag to a dtype (or None)."""
     return {"none": None, "f32": jnp.float32,
             "bf16": jnp.bfloat16}[args.linsolve]
+
+
+def scheduler(args):
+    """Map the --scheduler flag to run_ensemble's kwarg (None = auto)."""
+    return None if getattr(args, "scheduler", "auto") == "auto" \
+        else args.scheduler
 
 
 def get_ensemble(n: int, seed: int = 0) -> np.ndarray:

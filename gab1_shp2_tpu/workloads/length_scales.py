@@ -51,6 +51,7 @@ def main(argv=None):
             system, Co, batch, solver=args.solver, R=R_BIG, dr=args.dr,
             tf=args.tf, Nts=args.nts, rtol=args.rtol,
             linsolve_dtype=common.linsolve_dtype(args),
+            scheduler=common.scheduler(args),
             extract=lambda s: gsa_outputs(s, R_BIG))
         for f, o, valid in zip(FACTORS, np.asarray(out), np.asarray(ok)):
             p_f = base.scale(**{pname: f})

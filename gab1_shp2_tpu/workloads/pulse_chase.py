@@ -46,6 +46,7 @@ def main(argv=None):
     kw = dict(solver=args.solver, dr=args.dr, tf=tf,
               Nts=args.nts, rtol=args.rtol, chunk=args.chunk,
               linsolve_dtype=common.linsolve_dtype(args),
+              scheduler=common.scheduler(args),
               t_prechase=args.t_prechase)
     # one ensemble pass for both observables (extract returns a tuple;
     # the per-lane validity mask is shared)

@@ -49,7 +49,8 @@ def main(argv=None):
     ens = common.get_ensemble(args.n, seed=args.seed)
     kw = dict(solver=args.solver, dr=args.dr, tf=args.tf, Nts=args.nts,
               rtol=args.rtol, chunk=args.chunk,
-              linsolve_dtype=common.linsolve_dtype(args))
+              linsolve_dtype=common.linsolve_dtype(args),
+              scheduler=common.scheduler(args))
     q_pg1s, n_ok = common.summary_surfaces(
         system, Co, ens, lambda s: s.PG1Stot, **kw)
     q_asfk, _ = common.summary_surfaces(

@@ -50,7 +50,8 @@ def main(argv=None):
     ens = common.get_ensemble(args.n, seed=args.seed)
     kw = dict(solver=args.solver, dr=args.dr, tf=args.tf, Nts=args.nts,
               rtol=args.rtol, chunk=args.chunk,
-              linsolve_dtype=common.linsolve_dtype(args))
+              linsolve_dtype=common.linsolve_dtype(args),
+              scheduler=common.scheduler(args))
     base_sys = g.base_system()
     co_base = g.default_co()
     r = np.arange(int(round(R / args.dr)) + 1) * args.dr
