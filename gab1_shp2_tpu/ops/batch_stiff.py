@@ -407,6 +407,13 @@ def _solver_ctx(system, R, dr, Nts, rtol, atol, tf_total, dtype,
     M = Nr - 1
     NB = M + 1
     f_lanes, r = make_mol_rhs_lanes(system, R, dr)
+    f_df32 = None
+    if rhs_mixed == "df32":
+        # compensated (EFT) double-f32 RHS: matches the f64 RHS to
+        # ~3e-14 relative (tests/test_df32.py), unlike the jvp-split
+        # scheme's ~1e-7 floor — usable at the north-star rtol 1e-6
+        from gab1_shp2_tpu.ops.rhs_df32 import make_mol_rhs_lanes_df32
+        f_df32, _ = make_mol_rhs_lanes_df32(system, R, dr)
     dt_save = tf_total / Nts
     eps = 1e-10 * tf_total
 
@@ -463,6 +470,8 @@ def _solver_ctx(system, R, dr, Nts, rtol, atol, tf_total, dtype,
 
     def make_f(p: Params):
         """The lane-batched RHS closed over (possibly carried) params."""
+        if rhs_mixed == "df32":
+            return partial(f_df32, params=p)
         if rhs_mixed:
             # Double-single RHS for emulated-f64 states (VERDICT-r3
             # item 2): split y into an exact f32 hi part plus an f32
@@ -981,6 +990,18 @@ def _solve_refill_impl(system, Co_all, params, R, dr, tf, Nts, rtol, atol,
     return out[-3], out[-2], out[-1]
 
 
+def _norm_rhs_mixed(rhs_mixed):
+    """Normalize the rhs_mixed flag to a hashable static value.
+
+    False (native RHS in the state dtype), True (jvp-split double-f32,
+    ~1e-7 floor), or ``"df32"`` (compensated EFT double-f32, ~2^-48 —
+    see :mod:`gab1_shp2_tpu.ops.rhs_df32`).
+    """
+    if rhs_mixed == "df32":
+        return "df32"
+    return bool(rhs_mixed)
+
+
 def solve_stiff_refill(
     system: ReactionDiffusionSystem,
     Co: jax.Array,
@@ -1040,7 +1061,7 @@ def solve_stiff_refill(
                               float(tf), int(Nts), rtol, atol,
                               int(max_steps), float(h0), method, ls,
                               int(lanes), int(harvest_every), extract,
-                              rhs_mixed=bool(rhs_mixed),
+                              rhs_mixed=_norm_rhs_mixed(rhs_mixed),
                               t_prechase=t_prechase, params2=params2)
 
 
@@ -1151,7 +1172,7 @@ def solve_stiff_batch(
                                    int(max_steps), float(h0), method, ls,
                                    jac_reuse=bool(jac_reuse),
                                    step_impl=step_impl,
-                                   rhs_mixed=bool(rhs_mixed))
+                                   rhs_mixed=_norm_rhs_mixed(rhs_mixed))
     if return_stats:
         return sol, stats
     return sol

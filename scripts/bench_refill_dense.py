@@ -74,7 +74,7 @@ for tag, legkw in (("dense Nts=100", dict(dr=0.2, tf=5.0, Nts=100)),
     print(f"--- {tag} (N={N}) ---", flush=True)
     base_out, base_ok = timed(f"{tag} sorted chunk=128",
                               chunk=128, scheduler="sorted", **legkw)
-    for lanes, group in ((128, 128), (128, 256), (128, 512), (256, 256)):
+    for lanes, group in ((128, 256), (256, 256)):
         out, ok = timed(f"{tag} refill lanes={lanes} group={group}",
                         chunk=lanes, scheduler="refill",
                         refill_group=group, **legkw)

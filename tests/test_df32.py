@@ -133,3 +133,48 @@ class TestDf32RHS:
         nb = np.asarray(tb)
         denom = np.abs(na).max()
         assert np.max(np.abs(na - nb)) / denom < 1e-5
+
+
+class TestDf32StiffPath:
+    def test_solve_stiff_batch_rhs_df32_parity(self):
+        """rhs_mixed='df32' on the f64 north-star-shaped config must
+        track the native-f64 trajectory at the controller level: the
+        compensated RHS agrees to ~2^-48, but a perturbation that small
+        can still flip an accept/reject boundary (measured: step counts
+        differ by <=1 per lane, solutions by ~4e-6 — different accepted
+        step SEQUENCES each satisfying the local tolerance, not an RHS
+        bias; the jvp-split scheme's ~1e-7 systematic floor is the
+        contrast)."""
+        from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch
+
+        system = g.base_system()
+        Co = jnp.asarray(np.asarray(g.default_co()))
+        rng = np.random.default_rng(0)
+        B = 4
+        p0 = np.asarray(g.default_params().pack())
+        pb = Params.unpack(jnp.asarray(p0[None, :]
+                                       * rng.lognormal(0, 0.15, (B, 24))))
+        kw = dict(R=10.0, dr=1.0, tf=5.0, Nts=2, rtol=1e-6, atol=1e-9,
+                  method="rodas4", linsolve_dtype=jnp.float32)
+        s0, st0 = solve_stiff_batch(system, Co, pb, return_stats=True,
+                                    **kw)
+        s1, st1 = solve_stiff_batch(system, Co, pb, return_stats=True,
+                                    rhs_mixed="df32", **kw)
+        acc0 = np.asarray(st0.n_accepted)
+        acc1 = np.asarray(st1.n_accepted)
+        assert np.max(np.abs(acc0 - acc1)) <= 2, (acc0, acc1)
+        a, b = np.asarray(s0.C), np.asarray(s1.C)
+        rel = np.max(np.abs(a - b) / (np.abs(a) + 1e-6 * np.abs(a).max()))
+        assert rel < 2e-5, rel
+
+    def test_rhs_df32_requires_f64_state(self):
+        from gab1_shp2_tpu.ops.batch_stiff import solve_stiff_batch
+
+        system = g.base_system()
+        Co = jnp.asarray(np.asarray(g.default_co()), jnp.float32)
+        p0 = np.asarray(g.default_params().pack())
+        pb = Params.unpack(jnp.asarray(
+            np.repeat(p0[None, :], 2, 0), jnp.float32))
+        with pytest.raises(ValueError):
+            solve_stiff_batch(system, Co, pb, R=10.0, dr=1.0, tf=1.0,
+                              Nts=2, rhs_mixed="df32")
