@@ -26,8 +26,11 @@ def main():
     exact_dir = sys.argv[1] if len(sys.argv) > 1 else \
         "results/inference/exact_nuts_r4"
     sur_dir = sys.argv[2] if len(sys.argv) > 2 else "results/inference"
-    exact = load(f"{exact_dir}/posterior_quantiles.csv")
-    sur = load(f"{sur_dir}/posterior_quantiles.csv")
+    # optional condition tag ("_hela"): picks the tagged quantile CSVs
+    # on BOTH sides (fit_and_infer names HeLa artifacts with the tag)
+    tag = sys.argv[3] if len(sys.argv) > 3 else ""
+    exact = load(f"{exact_dir}/posterior_quantiles{tag}.csv")
+    sur = load(f"{sur_dir}/posterior_quantiles{tag}.csv")
     rows = []
     worst = 1.0
     for n, e in exact.items():

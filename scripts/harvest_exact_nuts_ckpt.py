@@ -50,6 +50,9 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else \
         "results/inference/exact_nuts_r4"
     sur_dir = sys.argv[2] if len(sys.argv) > 2 else "results/inference"
+    # condition tag: fit_and_infer names HeLa artifacts posterior_*_hela
+    tag = "_hela" if "hela" in os.path.basename(os.path.normpath(out)) \
+        else ""
     cks = glob.glob(f"{out}/cache/ckpt_nuts_*.npz")
     if not cks:
         sys.exit(f"no checkpoint under {out}/cache")
@@ -67,7 +70,7 @@ def main():
     print(f"checkpoint: {chains} chains x {done} draws, "
           f"{int(div.sum())} divergences")
 
-    with open(f"{out}/posterior_samples.csv", "w", newline="") as f:
+    with open(f"{out}/posterior_samples{tag}.csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(list(FIT_NAMES) + ["weight"])
         w.writerows([[*s, 1.0] for s in samples])
@@ -76,7 +79,7 @@ def main():
         q = np.quantile(samples[:, j], QS)
         qrows.append([n] + list(q) + [samples[:, j].mean()])
         print(f"  {n}: median {q[2]:.4g} [{q[0]:.4g}, {q[4]:.4g}]")
-    with open(f"{out}/posterior_quantiles.csv", "w", newline="") as f:
+    with open(f"{out}/posterior_quantiles{tag}.csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["param"] + [f"q{q}" for q in QS] + ["mean"])
         w.writerows(qrows)
@@ -95,7 +98,7 @@ def main():
     # Same CSV format as fit_and_infer's post-run writer.
     diag = _load_diagnostics()
     report = diag.check_chains(qs, div, names=list(FIT_NAMES))
-    with open(f"{out}/nuts_diagnostics.csv", "w", newline="") as f:
+    with open(f"{out}/nuts_diagnostics{tag}.csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["param", "rhat", "ess"])
         w.writerows([[n, report["rhat"][n], report["ess"][n]]
@@ -106,10 +109,10 @@ def main():
         report["failures"])
     print(f"health gate ({chains} chains x {done}): {status}")
 
-    if os.path.exists(f"{sur_dir}/posterior_quantiles.csv"):
+    if os.path.exists(f"{sur_dir}/posterior_quantiles{tag}.csv"):
         subprocess.run([sys.executable,
                         "scripts/compare_exact_vs_surrogate.py",
-                        out, sur_dir], check=True)
+                        out, sur_dir, tag], check=True)
 
 
 if __name__ == "__main__":

@@ -380,17 +380,20 @@ class TestExactVsSurrogatePosterior:
     medians (MC error of a lognormal-ish median shrinks ~1/sqrt(n);
     400 draws measured x1.48 worst => >=2500 draws supports x1.25)."""
 
-    @pytest.mark.parametrize("run_dir", ["exact_nuts", "exact_nuts_r4"])
-    def test_quantile_agreement(self, run_dir):
+    @pytest.mark.parametrize("run_dir,tag", [
+        ("exact_nuts", ""), ("exact_nuts_r4", ""),
+        ("exact_nuts_r5", ""), ("exact_nuts_r5_hela", "_hela")])
+    def test_quantile_agreement(self, run_dir, tag):
         import csv
         import os
 
         here = os.path.dirname(__file__)
         base = os.path.join(here, "..", "results", "inference")
         exact_path = os.path.join(base, run_dir,
-                                  "posterior_quantiles.csv")
-        sur_path = os.path.join(base, "posterior_quantiles.csv")
-        samples_path = os.path.join(base, run_dir, "posterior_samples.csv")
+                                  f"posterior_quantiles{tag}.csv")
+        sur_path = os.path.join(base, f"posterior_quantiles{tag}.csv")
+        samples_path = os.path.join(base, run_dir,
+                                    f"posterior_samples{tag}.csv")
         if not (os.path.exists(exact_path) and os.path.exists(sur_path)
                 and os.path.exists(samples_path)):
             pytest.skip("exact-NUTS validation artifacts not generated")
