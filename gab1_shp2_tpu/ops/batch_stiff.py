@@ -1125,6 +1125,14 @@ def solve_stiff_batch(
     (973->1035) with err 9.6e-6 -> 4.1e-5.  Kept opt-in: useful for
     f64-state sweeps that only need rtol>=1e-4 accuracy, NOT for the
     north star (dead-end note, VERDICT-r3 item 2).
+
+    ``rhs_mixed="df32"`` instead evaluates the RHS with compensated
+    (error-free-transform) double-f32 arithmetic
+    (:mod:`gab1_shp2_tpu.ops.rhs_df32`): ~2^-48 agreement with the f64
+    RHS, so it has no jvp-split-style accuracy floor and is admissible
+    at the north-star rtol 1e-6 (parity:
+    tests/test_df32.py::TestDf32StiffPath).  Throughput is measured,
+    not assumed — see scripts/bench_df32_northstar.py.
     """
     if jac_reuse is None:
         # Historically defaulted on for f64 TRBDF2 (reuse was a 5.4x
