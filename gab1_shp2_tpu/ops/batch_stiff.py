@@ -1129,10 +1129,18 @@ def solve_stiff_batch(
     ``rhs_mixed="df32"`` instead evaluates the RHS with compensated
     (error-free-transform) double-f32 arithmetic
     (:mod:`gab1_shp2_tpu.ops.rhs_df32`): ~2^-48 agreement with the f64
-    RHS, so it has no jvp-split-style accuracy floor and is admissible
-    at the north-star rtol 1e-6 (parity:
-    tests/test_df32.py::TestDf32StiffPath).  Throughput is measured,
-    not assumed — see scripts/bench_df32_northstar.py.
+    RHS (5e-11 measured on-chip), so it has no jvp-split-style
+    accuracy floor and is admissible at the north-star rtol 1e-6
+    (parity: tests/test_df32.py::TestDf32StiffPath).  MEASURED DEAD
+    END 4 (v5e 2026-08-21, scripts/bench_df32_rhs.py +
+    bench_df32_northstar.py): the df32 RHS is 7% SLOWER than the
+    emulated-f64 RHS at B=256 (92.6 vs 86.4 us/eval; f64/f32 ratio
+    2.92) and the rtol-1e-6 north star ties end-to-end (856 vs 853
+    solves/s) — XLA's f64 emulation already costs only ~3x native f32
+    on this VPU-bound stencil+polynomial workload, the same as the
+    EFT op-count multiplier, so there is no arithmetic headroom left.
+    This closes VERDICT-r4 item 6: the f64 north-star floor is the
+    emulated-f64 RHS itself, now measured from both sides.
     """
     if jac_reuse is None:
         # Historically defaulted on for f64 TRBDF2 (reuse was a 5.4x

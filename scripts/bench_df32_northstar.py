@@ -41,7 +41,9 @@ pb = Params.unpack(jnp.asarray(batch))
 
 
 def _final_C(sol):
-    return sol.C[:, -1]
+    # refill extract sees a per-member Solution: C is (Nts+1, species,
+    # nodes) -> final-time full profile
+    return sol.C[-1]
 
 
 def timed(tag, **kw):
@@ -66,7 +68,13 @@ def timed(tag, **kw):
 out_nat = timed("native f64 RHS")
 out_df = timed("df32 RHS")
 
-# per-path global error vs tight f64 (member 0)
+# per-path global error vs tight f64 (member 0).  (The first run of
+# this script extracted `sol.C[:, -1]` — the chunked layout's index —
+# so its error check crashed on shapes; the throughput rows were
+# unaffected, both paths timed the same extract.)  MEASURED RESULT
+# (v5e 2026-08-21): native 853.4 vs df32 856.3 solves/s — a tie; with
+# the 7% RHS-level LOSS in bench_df32_rhs.py this is dead end 4, see
+# ops/batch_stiff.solve_stiff_batch's docstring.
 ref = g.solve_stiff(system, Co64, Params.unpack(jnp.asarray(batch[0])),
                     dr=0.2, tf=5.0, Nts=2, rtol=1e-8, atol=1e-11)
 Cref = np.asarray(ref.C[-1])
