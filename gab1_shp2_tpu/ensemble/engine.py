@@ -94,14 +94,16 @@ def run_ensemble(
     continuation batching, ``ops.batch_stiff.solve_stiff_refill``: one
     device program per ``refill_group`` members with finished lanes
     swapped for queued ones in-flight — no lock-step chunk barrier at
-    all).  Default (``None``) = auto: refill for sparse-output stiff
-    ensembles (measured +24% on a 2048-member posterior,
-    2.3x on the eFAST corner box vs the sorted scheduler — v5e,
-    scripts/bench_refill.py 2026-08-19; two-leg pulse-chase ensembles
-    are refill-capable via the per-lane leg switch, VERDICT-r4 item 3),
-    sorted for ``jac_reuse`` (collective refresh votes need
-    fixed chunk membership) and dense-output runs (Nts >= 50, where
-    the ~60 s TPU watchdog caps the queue at chunk size anyway).  With
+    all).  Default (``None``) = auto: refill for every stiff ensemble
+    except ``jac_reuse`` (collective refresh votes need fixed chunk
+    membership).  Measured vs sorted (v5e): +24% on a 2048-member
+    sparse-output posterior and 2.3x on the eFAST corner box
+    (scripts/bench_refill.py 2026-08-19); dense output Nts=100 +49%
+    (2939 vs 1972 solves/s) and two-leg pulse-chase Nts=120 +6.7%
+    (1788 vs 1675) at N=2048 (scripts/bench_refill_dense.py
+    2026-08-21 — the former dense-output exclusion was a heuristic the
+    measurement overturned; two-leg runs use the per-lane leg switch,
+    VERDICT-r4 item 3).  With
     ``device_axis`` every device runs its own independent refill queue
     over its shard.  Per-member results are controller-identical
     between schedulers (exact step counts; values to float roundoff).
@@ -144,12 +146,14 @@ def run_ensemble(
                int(max_steps), jac_reuse, extract)
 
         if scheduler is None:
-            # two-leg (t_prechase) ensembles are refill-capable since
-            # the per-lane leg switch (VERDICT-r4 item 3) but are
-            # usually dense-output (Nts>=50) workloads, which keep the
-            # sorted scheduler (see the Nts note above)
-            scheduler = ("refill" if not jac_reuse and Nts < 50
-                         else "sorted")
+            # refill everywhere except jac_reuse (which needs fixed
+            # chunk membership).  The former Nts>=50 exclusion was a
+            # heuristic, MEASURED WRONG (v5e 2026-08-21,
+            # scripts/bench_refill_dense.py, N=2048 f32 rodas4): dense
+            # Nts=100 refill 2939 vs sorted 1972 solves/s (+49%);
+            # two-leg pulse-chase Nts=120 refill 1788 vs 1675 (+6.7%);
+            # outputs matched the sorted scheduler in both cases.
+            scheduler = "refill" if not jac_reuse else "sorted"
         if scheduler == "refill":
             if jac_reuse:
                 raise ValueError(
@@ -245,8 +249,14 @@ def _run_stiff_refill(system, Co, pb, N, extract, chunk, refill_group, *,
     """
     lanes = int(chunk) if chunk is not None else 256
     if refill_group is None:
+        # dense output: bound per-dispatch wall under the ~60 s TPU
+        # watchdog.  2*lanes is the measured-best dense config
+        # (lanes=128 group=256: 2939 solves/s vs 2860 at lanes=256 —
+        # scripts/bench_refill_dense.py, N=2048 Nts=100 f32 rodas4,
+        # v5e 2026-08-21); each group dispatch was ~0.1 s there, far
+        # under the watchdog.
         dense = Nts >= 50 and jax.devices()[0].platform == "tpu"
-        refill_group = lanes if dense else 4096
+        refill_group = 2 * lanes if dense else 4096
     group = max(int(refill_group), lanes)
 
     def solve_group(Co_g, p_g):
