@@ -287,6 +287,14 @@ def run_mesh(n_devices=None):
 
     devs = jax.devices()
     D = int(n_devices) if n_devices else len(devs)
+    if D > len(devs):
+        # asking for more devices than the backend has would silently
+        # bench a 1-device mesh labeled "N devices" — clamp loudly
+        print(f"# --mesh {D} > {len(devs)} available devices; "
+              f"using {len(devs)} (pass --cpu with "
+              f"XLA_FLAGS=--xla_force_host_platform_device_count={D} "
+              f"for a virtual mesh)", file=sys.stderr)
+        D = len(devs)
     devs = devs[:D]
     mesh = Mesh(np.asarray(devs), ("ens",))
     system = g.base_system()
